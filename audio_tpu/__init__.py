@@ -1,0 +1,14 @@
+"""audio_tpu — a TPU-native audio ML framework (JAX/XLA/Pallas/pjit).
+
+Built from scratch with the capabilities of pytorch/audio (torchaudio 2.11):
+functional DSP, transforms, Kaldi-compliance features, alignment/losses and
+decoding, the model zoo, pipelines, and datasets — designed TPU-first.
+See SURVEY.md at the repo root for the blueprint.
+"""
+
+__version__ = "0.1.0"
+
+from . import functional  # noqa: F401
+from . import ops  # noqa: F401
+
+__all__ = ["functional", "ops", "__version__"]

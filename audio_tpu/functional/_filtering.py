@@ -1,0 +1,560 @@
+"""Sox-style filtering: biquad designs, lfilter, effects.
+
+Behavioral parity with /root/reference/src/torchaudio/functional/filtering.py:
+12 biquad designs (:70-1413, standard RBJ audio-EQ-cookbook / SoX formulas),
+lfilter front-end semantics (:1032-1099), DifferentiableFIR/IIR math
+(:941-1024), filtfilt (:672), overdrive (:1150), contrast (:336), dcshift
+(:370), dither (:465-629), gain (:871), phaser (:1206), flanger (:713).
+
+TPU-native: the FIR stage is a depthwise conv (grad flows via XLA conv
+transpose); the IIR stage is the blocked Toeplitz-matmul engine from
+``audio_tpu.ops.iir`` with the diffAPF custom VJP; effect recurrences
+(overdrive, phaser, flanger) are ``lax.scan``s over time vectorized over
+(batch, channel) lanes — the direct analogue of the reference's
+``parallel_for`` over B·C.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.iir import iir_apply, iir_scan
+from .._internal.windows import bartlett_window
+
+__all__ = [
+    "allpass_biquad",
+    "band_biquad",
+    "bandpass_biquad",
+    "bandreject_biquad",
+    "bass_biquad",
+    "biquad",
+    "contrast",
+    "dcshift",
+    "deemph_biquad",
+    "dither",
+    "equalizer_biquad",
+    "filtfilt",
+    "flanger",
+    "gain",
+    "highpass_biquad",
+    "lfilter",
+    "lowpass_biquad",
+    "overdrive",
+    "phaser",
+    "riaa_biquad",
+    "treble_biquad",
+]
+
+
+def _db2linear(x: float) -> float:
+    return math.exp(x * math.log(10) / 20.0)
+
+
+# ---------------------------------------------------------------------------
+# lfilter
+# ---------------------------------------------------------------------------
+
+
+def _fir_causal(waveform: jnp.ndarray, b_coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Causal FIR: y[t] = sum_k b[k] x[t-k].  waveform (B, C, T), b (C, K)."""
+    n_order = b_coeffs.shape[1]
+    n_channel = b_coeffs.shape[0]
+    padded = jnp.pad(waveform, ((0, 0), (0, 0), (n_order - 1, 0)))
+    rhs = jnp.flip(b_coeffs, -1)[:, None, :]  # (O=C, I=1, K)
+    return jax.lax.conv_general_dilated(
+        padded,
+        rhs,
+        window_strides=(1,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=n_channel,
+    )
+
+
+def lfilter(
+    waveform: jnp.ndarray,
+    a_coeffs: jnp.ndarray,
+    b_coeffs: jnp.ndarray,
+    clamp: bool = True,
+    batching: bool = True,
+) -> jnp.ndarray:
+    """IIR filter by difference equation; torchaudio lfilter semantics.
+
+    Coefficients may be 1D ``(order+1,)`` or 2D ``(num_filters, order+1)``.
+    """
+    a_coeffs = jnp.asarray(a_coeffs, waveform.dtype)
+    b_coeffs = jnp.asarray(b_coeffs, waveform.dtype)
+    if a_coeffs.shape != b_coeffs.shape:
+        raise ValueError(
+            f"Expected coeffs to be the same size. Found: a_coeffs {a_coeffs.shape}, b_coeffs {b_coeffs.shape}"
+        )
+    if a_coeffs.ndim > 2:
+        raise ValueError(f"Expected coeffs to have at most 2 dimensions. Found: {a_coeffs.ndim}")
+
+    if a_coeffs.ndim > 1:
+        if batching:
+            if waveform.ndim < 2 or waveform.shape[-2] != a_coeffs.shape[0]:
+                raise ValueError(
+                    "Expected number of batches in waveform and coeffs to be the same."
+                    f" Found: coeffs batches: {a_coeffs.shape[0]}, waveform shape: {waveform.shape}"
+                )
+        else:
+            waveform = jnp.stack([waveform] * a_coeffs.shape[0], -2)
+    else:
+        a_coeffs = a_coeffs[None]
+        b_coeffs = b_coeffs[None]
+
+    shape = waveform.shape
+    x = waveform.reshape((-1, a_coeffs.shape[0], shape[-1]))
+
+    a0 = a_coeffs[:, 0:1]
+    fir_out = _fir_causal(x, b_coeffs / a0)
+    output = iir_apply(fir_out, a_coeffs / a0)
+
+    if clamp:
+        output = jnp.clip(output, -1.0, 1.0)
+    return output.reshape(shape[:-1] + (output.shape[-1],))
+
+
+def filtfilt(
+    waveform: jnp.ndarray,
+    a_coeffs: jnp.ndarray,
+    b_coeffs: jnp.ndarray,
+    clamp: bool = True,
+) -> jnp.ndarray:
+    """Apply an IIR filter forward and backward (zero-phase)."""
+    forward_filtered = lfilter(waveform, a_coeffs, b_coeffs, clamp=False, batching=True)
+    return jnp.flip(
+        lfilter(jnp.flip(forward_filtered, -1), a_coeffs, b_coeffs, clamp=clamp, batching=True), -1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Biquad designs (RBJ audio-EQ-cookbook / SoX formulas)
+# ---------------------------------------------------------------------------
+
+
+def biquad(waveform, b0, b1, b2, a0, a1, a2) -> jnp.ndarray:
+    """Second-order section with zero initial conditions."""
+    dtype = waveform.dtype
+    coeffs = [jnp.asarray(v, dtype).reshape(()) for v in (b0, b1, b2, a0, a1, a2)]
+    b = jnp.stack(coeffs[:3])
+    a = jnp.stack(coeffs[3:])
+    return lfilter(waveform, a, b)
+
+
+def allpass_biquad(waveform, sample_rate: int, central_freq, Q=0.707) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(central_freq, waveform.dtype) / sample_rate
+    alpha = jnp.sin(w0) / 2 / Q
+    b0 = 1 - alpha
+    b1 = -2 * jnp.cos(w0)
+    b2 = 1 + alpha
+    return biquad(waveform, b0, b1, b2, 1 + alpha, b1, 1 - alpha)
+
+
+def band_biquad(waveform, sample_rate: int, central_freq, Q=0.707, noise: bool = False) -> jnp.ndarray:
+    central_freq = jnp.asarray(central_freq, waveform.dtype)
+    w0 = 2 * math.pi * central_freq / sample_rate
+    bw_hz = central_freq / Q
+    a2 = jnp.exp(-2 * math.pi * bw_hz / sample_rate)
+    a1 = -4 * a2 / (1 + a2) * jnp.cos(w0)
+    b0 = jnp.sqrt(1 - a1 * a1 / (4 * a2)) * (1 - a2)
+    if noise:
+        mult = jnp.sqrt(((1 + a2) * (1 + a2) - a1 * a1) * (1 - a2) / (1 + a2)) / b0
+        b0 = mult * b0
+    return biquad(waveform, b0, 0.0, 0.0, 1.0, a1, a2)
+
+
+def bandpass_biquad(waveform, sample_rate: int, central_freq, Q=0.707, const_skirt_gain: bool = False) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(central_freq, waveform.dtype) / sample_rate
+    alpha = jnp.sin(w0) / 2 / Q
+    temp = jnp.sin(w0) / 2 if const_skirt_gain else alpha
+    return biquad(waveform, temp, 0.0, -temp, 1 + alpha, -2 * jnp.cos(w0), 1 - alpha)
+
+
+def bandreject_biquad(waveform, sample_rate: int, central_freq, Q=0.707) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(central_freq, waveform.dtype) / sample_rate
+    alpha = jnp.sin(w0) / 2 / Q
+    b1 = -2 * jnp.cos(w0)
+    return biquad(waveform, 1.0, b1, 1.0, 1 + alpha, b1, 1 - alpha)
+
+
+def _shelf_coeffs(w0, alpha, A, bass: bool):
+    temp1 = 2 * jnp.sqrt(A) * alpha
+    temp2 = (A - 1) * jnp.cos(w0)
+    temp3 = (A + 1) * jnp.cos(w0)
+    if bass:
+        b0 = A * ((A + 1) - temp2 + temp1)
+        b1 = 2 * A * ((A - 1) - temp3)
+        b2 = A * ((A + 1) - temp2 - temp1)
+        a0 = (A + 1) + temp2 + temp1
+        a1 = -2 * ((A - 1) + temp3)
+        a2 = (A + 1) + temp2 - temp1
+    else:
+        b0 = A * ((A + 1) + temp2 + temp1)
+        b1 = -2 * A * ((A - 1) + temp3)
+        b2 = A * ((A + 1) + temp2 - temp1)
+        a0 = (A + 1) - temp2 + temp1
+        a1 = 2 * ((A - 1) - temp3)
+        a2 = (A + 1) - temp2 - temp1
+    return b0, b1, b2, a0, a1, a2
+
+
+def bass_biquad(waveform, sample_rate: int, gain, central_freq=100, Q=0.707) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(central_freq, waveform.dtype) / sample_rate
+    alpha = jnp.sin(w0) / 2 / Q
+    A = jnp.exp(jnp.asarray(gain, waveform.dtype) / 40 * math.log(10))
+    b0, b1, b2, a0, a1, a2 = _shelf_coeffs(w0, alpha, A, bass=True)
+    return biquad(waveform, b0 / a0, b1 / a0, b2 / a0, 1.0, a1 / a0, a2 / a0)
+
+
+def treble_biquad(waveform, sample_rate: int, gain, central_freq=3000, Q=0.707) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(central_freq, waveform.dtype) / sample_rate
+    alpha = jnp.sin(w0) / 2 / Q
+    A = jnp.exp(jnp.asarray(gain, waveform.dtype) / 40 * math.log(10))
+    b0, b1, b2, a0, a1, a2 = _shelf_coeffs(w0, alpha, A, bass=False)
+    return biquad(waveform, b0, b1, b2, a0, a1, a2)
+
+
+def deemph_biquad(waveform, sample_rate: int) -> jnp.ndarray:
+    """ISO 908 CD de-emphasis shelving filter (44.1k / 48k only)."""
+    if sample_rate == 44100:
+        central_freq, width_slope, gain_db = 5283, 0.4845, -9.477
+    elif sample_rate == 48000:
+        central_freq, width_slope, gain_db = 5356, 0.479, -9.62
+    else:
+        raise ValueError("Sample rate must be 44100 (audio-CD) or 48000 (DAT)")
+    w0 = 2 * math.pi * central_freq / sample_rate
+    A = math.exp(gain_db / 40.0 * math.log(10))
+    alpha = math.sin(w0) / 2 * math.sqrt((A + 1 / A) * (1 / width_slope - 1) + 2)
+    b0, b1, b2, a0, a1, a2 = _shelf_coeffs(jnp.asarray(w0), jnp.asarray(alpha), jnp.asarray(A), bass=False)
+    return biquad(waveform, b0, b1, b2, a0, a1, a2)
+
+
+def equalizer_biquad(waveform, sample_rate: int, center_freq, gain, Q=0.707) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(center_freq, waveform.dtype) / sample_rate
+    A = jnp.exp(jnp.asarray(gain, waveform.dtype) / 40.0 * math.log(10))
+    alpha = jnp.sin(w0) / 2 / Q
+    return biquad(
+        waveform, 1 + alpha * A, -2 * jnp.cos(w0), 1 - alpha * A, 1 + alpha / A, -2 * jnp.cos(w0), 1 - alpha / A
+    )
+
+
+def highpass_biquad(waveform, sample_rate: int, cutoff_freq, Q=0.707) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(cutoff_freq, waveform.dtype) / sample_rate
+    alpha = jnp.sin(w0) / 2.0 / Q
+    b0 = (1 + jnp.cos(w0)) / 2
+    b1 = -1 - jnp.cos(w0)
+    return biquad(waveform, b0, b1, b0, 1 + alpha, -2 * jnp.cos(w0), 1 - alpha)
+
+
+def lowpass_biquad(waveform, sample_rate: int, cutoff_freq, Q=0.707) -> jnp.ndarray:
+    w0 = 2 * math.pi * jnp.asarray(cutoff_freq, waveform.dtype) / sample_rate
+    alpha = jnp.sin(w0) / 2 / Q
+    b0 = (1 - jnp.cos(w0)) / 2
+    b1 = 1 - jnp.cos(w0)
+    return biquad(waveform, b0, b1, b0, 1 + alpha, -2 * jnp.cos(w0), 1 - alpha)
+
+
+def riaa_biquad(waveform, sample_rate: int) -> jnp.ndarray:
+    """RIAA vinyl playback equalization."""
+    if sample_rate == 44100:
+        zeros = [-0.2014898, 0.9233820]
+        poles = [0.7083149, 0.9924091]
+    elif sample_rate == 48000:
+        zeros = [-0.1766069, 0.9321590]
+        poles = [0.7396325, 0.9931330]
+    elif sample_rate == 88200:
+        zeros = [-0.1168735, 0.9648312]
+        poles = [0.8590646, 0.9964002]
+    elif sample_rate == 96000:
+        zeros = [-0.1141486, 0.9676817]
+        poles = [0.8699137, 0.9966946]
+    else:
+        raise ValueError("Sample rate must be 44.1k, 48k, 88.2k, or 96k")
+    b0, b1, b2 = 1.0, -(zeros[0] + zeros[1]), zeros[0] * zeros[1]
+    a0, a1, a2 = 1.0, -(poles[0] + poles[1]), poles[0] * poles[1]
+    # normalize to 0 dB at 1 kHz
+    y = 2 * math.pi * 1000 / sample_rate
+    b_re = b0 + b1 * math.cos(-y) + b2 * math.cos(-2 * y)
+    a_re = a0 + a1 * math.cos(-y) + a2 * math.cos(-2 * y)
+    b_im = b1 * math.sin(-y) + b2 * math.sin(-2 * y)
+    a_im = a1 * math.sin(-y) + a2 * math.sin(-2 * y)
+    g = 1 / math.sqrt((b_re**2 + b_im**2) / (a_re**2 + a_im**2))
+    return biquad(waveform, b0 * g, b1 * g, b2 * g, a0, a1, a2)
+
+
+# ---------------------------------------------------------------------------
+# Effects
+# ---------------------------------------------------------------------------
+
+
+def contrast(waveform: jnp.ndarray, enhancement_amount: float = 75.0) -> jnp.ndarray:
+    """SoX contrast effect (waveshaping compression)."""
+    if not 0 <= enhancement_amount <= 100:
+        raise ValueError("Allowed range of values for enhancement_amount : 0-100")
+    contrast_val = enhancement_amount / 750.0
+    temp1 = waveform * (math.pi / 2)
+    temp2 = contrast_val * jnp.sin(temp1 * 4)
+    return jnp.sin(temp1 + temp2)
+
+
+def dcshift(waveform: jnp.ndarray, shift: float, limiter_gain: Optional[float] = None) -> jnp.ndarray:
+    """DC shift with optional peak limiter."""
+    if limiter_gain is not None:
+        limiter_threshold = 1.0 - (abs(shift) - limiter_gain)
+    if limiter_gain is not None and shift > 0:
+        mask = waveform > limiter_threshold
+        temp = (waveform - limiter_threshold) * limiter_gain / (1 - limiter_threshold)
+        peaked = jnp.minimum(temp + limiter_threshold + shift, limiter_threshold)
+        return jnp.where(mask, peaked, jnp.clip(waveform + shift, -1, 1))
+    if limiter_gain is not None and shift < 0:
+        mask = waveform < -limiter_threshold
+        temp = (waveform + limiter_threshold) * limiter_gain / (1 - limiter_threshold)
+        peaked = jnp.maximum(temp - limiter_threshold + shift, -limiter_threshold)
+        return jnp.where(mask, peaked, jnp.clip(waveform + shift, -1, 1))
+    return jnp.clip(waveform + shift, -1, 1)
+
+
+def gain(waveform: jnp.ndarray, gain_db: float = 1.0) -> jnp.ndarray:
+    if gain_db == 0:
+        return waveform
+    return waveform * (10 ** (gain_db / 20))
+
+
+def overdrive(waveform: jnp.ndarray, gain: float = 20, colour: float = 20) -> jnp.ndarray:
+    """SoX overdrive: cubic waveshaper + one-pole smoothing recurrence.
+
+    The stateful loop ``last_out = temp[t] - last_in + 0.995*last_out``
+    (overdrive.cpp:11-71) is a 1st-order all-pole filter driven by
+    ``temp[t] - temp[t-1]``, so it runs through the blocked IIR engine.
+    """
+    actual_shape = waveform.shape
+    x = waveform.reshape((-1, actual_shape[-1]))
+
+    g = _db2linear(gain)
+    colour_val = colour / 200
+    temp = x * g + colour_val
+    temp = jnp.where(temp < -1, -2.0 / 3.0, jnp.where(temp > 1, 2.0 / 3.0, temp - (temp**3) / 3))
+
+    diff = temp - jnp.pad(temp, ((0, 0), (1, 0)))[:, :-1]
+    a_norm = jnp.asarray([[1.0, -0.995]], x.dtype)
+    last_out = iir_apply(diff[:, None, :], a_norm)[:, 0]
+    out = x * 0.5 + last_out * 0.75
+    return jnp.clip(out, -1, 1).reshape(actual_shape)
+
+
+def _generate_wave_table(
+    wave_type: str,
+    data_type: str,
+    table_size: int,
+    min_val: float,
+    max_val: float,
+    phase: float,
+) -> np.ndarray:
+    """SoX-style LFO wave table (host-side constant)."""
+    phase_offset = int(phase / math.pi / 2 * table_size + 0.5)
+    point = (np.arange(table_size) + phase_offset) % table_size
+    if wave_type == "SINE":
+        d = (np.sin(point.astype(np.float64) / table_size * 2 * math.pi) + 1) / 2
+    elif wave_type == "TRIANGLE":
+        d = point.astype(np.float64) * 2 / table_size
+        value = (4 * point) // table_size
+        d = np.where(value == 0, d + 0.5, d)
+        d = np.where((value == 1) | (value == 2), 1.5 - d, d)
+        d = np.where(value == 3, d - 1.5, d)
+    else:
+        raise ValueError(wave_type)
+    d = d * (max_val - min_val) + min_val
+    if data_type == "INT":
+        d = np.where(d < 0, d - 0.5, d + 0.5).astype(np.int32)
+    else:
+        d = d.astype(np.float32)
+    return d
+
+
+def phaser(
+    waveform: jnp.ndarray,
+    sample_rate: int,
+    gain_in: float = 0.4,
+    gain_out: float = 0.74,
+    delay_ms: float = 3.0,
+    decay: float = 0.4,
+    mod_speed: float = 0.5,
+    sinusoidal: bool = True,
+) -> jnp.ndarray:
+    """SoX phaser: modulated delay line with feedback, as a lax.scan."""
+    actual_shape = waveform.shape
+    x = waveform.reshape((-1, actual_shape[-1]))
+    t_len = x.shape[-1]
+
+    delay_buf_len = int((delay_ms * 0.001 * sample_rate) + 0.5)
+    mod_buf_len = int(sample_rate / mod_speed + 0.5)
+    mod_buf = _generate_wave_table(
+        "SINE" if sinusoidal else "TRIANGLE", "INT", mod_buf_len, 1.0, float(delay_buf_len), math.pi / 2
+    )
+    # Precompute read/write delay-line positions for every step (all static).
+    steps = np.arange(t_len)
+    mod_pos = steps % mod_buf_len
+    delay_pos = steps % delay_buf_len  # position before increment at step i
+    read_idx = (delay_pos + mod_buf[mod_pos]) % delay_buf_len
+    write_idx = (delay_pos + 1) % delay_buf_len
+
+    x_in = x * gain_in
+
+    def step(buf, inp):
+        x_t, r_idx, w_idx = inp
+        temp = x_t + buf[:, r_idx]
+        buf = buf.at[:, w_idx].set(temp * decay)
+        return buf, temp
+
+    buf0 = jnp.zeros((x.shape[0], delay_buf_len), x.dtype)
+    _, out = jax.lax.scan(
+        step,
+        buf0,
+        (jnp.moveaxis(x_in, -1, 0), jnp.asarray(read_idx), jnp.asarray(write_idx)),
+    )
+    out = jnp.moveaxis(out, 0, -1) * gain_out
+    return jnp.clip(out, -1, 1).reshape(actual_shape)
+
+
+def flanger(
+    waveform: jnp.ndarray,
+    sample_rate: int,
+    delay: float = 0.0,
+    depth: float = 2.0,
+    regen: float = 0.0,
+    width: float = 71.0,
+    speed: float = 0.5,
+    phase: float = 25.0,
+    modulation: str = "sinusoidal",
+    interpolation: str = "linear",
+) -> jnp.ndarray:
+    """SoX flanger: per-channel modulated delay with feedback, as a lax.scan."""
+    if modulation not in ("sinusoidal", "triangular"):
+        raise ValueError('Only "sinusoidal" or "triangular" modulation allowed')
+    if interpolation not in ("linear", "quadratic"):
+        raise ValueError('Only "linear" or "quadratic" interpolation allowed')
+    actual_shape = waveform.shape
+    if actual_shape[-2] > 4:
+        raise ValueError("Max 4 channels allowed")
+    x = waveform.reshape((-1, actual_shape[-2], actual_shape[-1]))
+    n_batch, n_channels, t_len = x.shape
+
+    feedback_gain = regen / 100
+    delay_gain = width / 100
+    channel_phase = phase / 100
+    delay_min = delay / 1000
+    delay_depth = depth / 1000
+
+    in_gain = 1.0 / (1 + delay_gain)
+    delay_gain = delay_gain / (1 + delay_gain) * (1 - abs(feedback_gain))
+
+    delay_buf_length = int((delay_min + delay_depth) * sample_rate + 0.5) + 2
+    lfo_length = int(sample_rate / speed)
+    table_min = math.floor(delay_min * sample_rate + 0.5)
+    table_max = delay_buf_length - 2.0
+    lfo = jnp.asarray(
+        _generate_wave_table(
+            "SINE" if modulation == "sinusoidal" else "TRIANGLE",
+            "FLOAT",
+            lfo_length,
+            float(table_min),
+            float(table_max),
+            3 * math.pi / 2,
+        ),
+        x.dtype,
+    )
+
+    steps = np.arange(t_len)
+    # delay_buf_pos decrements each step (starts at len-1 after first update)
+    buf_pos = (delay_buf_length - 1 - (steps % delay_buf_length)) % delay_buf_length
+    lfo_pos = steps % lfo_length
+    chan_phase = (np.arange(n_channels) * lfo_length * channel_phase + 0.5).astype(np.int64)
+
+    quadratic = interpolation == "quadratic"
+
+    def step(carry, inp):
+        buf, delay_last = carry
+        x_t, pos, l_pos = inp
+        delay_tensor = lfo[(l_pos + jnp.asarray(chan_phase)) % lfo_length]  # (C,)
+        frac_delay = delay_tensor % 1.0
+        int_delay = jnp.floor(delay_tensor).astype(jnp.int32)
+
+        buf = buf.at[:, :, pos].set(x_t + delay_last * feedback_gain)
+
+        chan = jnp.arange(n_channels)
+        d0 = buf[:, chan, (pos + int_delay) % delay_buf_length]
+        d1 = buf[:, chan, (pos + int_delay + 1) % delay_buf_length]
+        if quadratic:
+            d2 = buf[:, chan, (pos + int_delay + 2) % delay_buf_length]
+            d2m = d2 - d0
+            d1m = d1 - d0
+            a = d2m * 0.5 - d1m
+            b = d1m * 2 - d2m * 0.5
+            delayed = d0 + (a * frac_delay + b) * frac_delay
+        else:
+            delayed = d0 + (d1 - d0) * frac_delay
+        out_t = x_t * in_gain + delayed * delay_gain
+        return (buf, delayed), out_t
+
+    buf0 = jnp.zeros((n_batch, n_channels, delay_buf_length), x.dtype)
+    last0 = jnp.zeros((n_batch, n_channels), x.dtype)
+    (_, _), out = jax.lax.scan(
+        step,
+        (buf0, last0),
+        (jnp.moveaxis(x, -1, 0), jnp.asarray(buf_pos), jnp.asarray(lfo_pos)),
+    )
+    out = jnp.moveaxis(out, 0, -1)
+    return jnp.clip(out, -1, 1).reshape(actual_shape)
+
+
+def _apply_probability_distribution(
+    waveform: jnp.ndarray, density_function: str = "TPDF", key: Optional[jax.Array] = None
+) -> jnp.ndarray:
+    shape = waveform.shape
+    x = waveform.reshape((-1, shape[-1]))
+    channel_size = x.shape[0] - 1
+    time_size = x.shape[-1] - 1
+
+    number_of_bits = 16
+    up_scaling = 2 ** (number_of_bits - 1) - 2
+    signal_scaled = x * up_scaling
+    down_scaling = 2 ** (number_of_bits - 1)
+
+    if density_function == "RPDF":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        rpdf = jax.random.uniform(key, ()) - 0.5
+        signal_scaled_dis = signal_scaled + rpdf
+    elif density_function == "GPDF":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        num_rand_variables = 6
+        gaussian = jnp.sum(jax.random.uniform(key, (num_rand_variables + 1,))) - (num_rand_variables + 1) / 2
+        signal_scaled_dis = signal_scaled + gaussian
+    else:  # TPDF — deterministic triangular window noise, as the reference
+        tpdf = bartlett_window(time_size + 1, dtype=signal_scaled.dtype)
+        signal_scaled_dis = signal_scaled + tpdf
+    quantised = jnp.round(signal_scaled_dis) / down_scaling
+    return quantised.reshape(shape[:-1] + quantised.shape[-1:])
+
+
+def dither(
+    waveform: jnp.ndarray,
+    density_function: str = "TPDF",
+    noise_shaping: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Dither to 16-bit depth with TPDF/RPDF/GPDF noise."""
+    dithered = _apply_probability_distribution(waveform, density_function, key)
+    if not noise_shaping:
+        return dithered
+    error = dithered - waveform
+    error = jnp.pad(error, [(0, 0)] * (error.ndim - 1) + [(1, 0)])[..., :-1]
+    return dithered + error

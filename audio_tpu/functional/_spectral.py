@@ -1,0 +1,244 @@
+"""Spectral ops: spectrogram, inverse, Griffin-Lim, phase vocoder, centroid.
+
+Behavioral parity with /root/reference/src/torchaudio/functional/functional.py:
+spectrogram (:54-144), inverse_spectrogram (:146-227), griffinlim (:255-355),
+amplitude_to_DB / DB_to_amplitude (:356-423), phase_vocoder (:732-812),
+spectral_centroid (:1257-1304).  TPU-native: static shapes, fori_loop for the
+Griffin-Lim iteration, everything jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ._stft import istft as _istft
+from ._stft import stft as _stft
+
+__all__ = [
+    "spectrogram",
+    "inverse_spectrogram",
+    "griffinlim",
+    "amplitude_to_DB",
+    "DB_to_amplitude",
+    "phase_vocoder",
+    "spectral_centroid",
+]
+
+
+def _get_spec_norms(normalized: Union[str, bool]):
+    frame_length_norm, window_norm = False, False
+    if isinstance(normalized, str):
+        if normalized not in ("frame_length", "window"):
+            raise ValueError(f"Invalid normalized parameter: {normalized}")
+        frame_length_norm = normalized == "frame_length"
+        window_norm = normalized == "window"
+    elif isinstance(normalized, bool):
+        window_norm = normalized
+    else:
+        raise TypeError("normalized must be bool or str")
+    return frame_length_norm, window_norm
+
+
+def spectrogram(
+    waveform: jnp.ndarray,
+    pad: int = 0,
+    window: Optional[jnp.ndarray] = None,
+    n_fft: int = 400,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    power: Optional[float] = 2.0,
+    normalized: Union[bool, str] = False,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    onesided: bool = True,
+) -> jnp.ndarray:
+    """Magnitude/power or complex spectrogram of shape (..., freq, time)."""
+    hop_length = hop_length or n_fft // 2
+    win_length = win_length or n_fft
+    if pad > 0:
+        waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(pad, pad)])
+    frame_length_norm, window_norm = _get_spec_norms(normalized)
+    spec_f = _stft(
+        waveform,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        window=window,
+        center=center,
+        pad_mode=pad_mode,
+        normalized=frame_length_norm,
+        onesided=onesided,
+    )
+    if window_norm:
+        w = window if window is not None else jnp.ones((win_length,), waveform.dtype)
+        spec_f = spec_f / jnp.sqrt(jnp.sum(w * w))
+    if power is not None:
+        if power == 1.0:
+            return jnp.abs(spec_f)
+        return jnp.abs(spec_f) ** power
+    return spec_f
+
+
+def inverse_spectrogram(
+    spectrogram: jnp.ndarray,
+    length: Optional[int],
+    pad: int = 0,
+    window: Optional[jnp.ndarray] = None,
+    n_fft: int = 400,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    normalized: Union[bool, str] = False,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    onesided: bool = True,
+) -> jnp.ndarray:
+    """Least-squares inverse of a complex spectrogram; returns (..., time)."""
+    hop_length = hop_length or n_fft // 2
+    win_length = win_length or n_fft
+    if not jnp.iscomplexobj(spectrogram):
+        raise ValueError("Expected `spectrogram` to be complex dtype.")
+    frame_length_norm, window_norm = _get_spec_norms(normalized)
+    if window_norm:
+        w = window if window is not None else jnp.ones((win_length,))
+        spectrogram = spectrogram * jnp.sqrt(jnp.sum(w * w))
+    waveform = _istft(
+        spectrogram,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        window=window,
+        center=center,
+        normalized=frame_length_norm,
+        onesided=onesided,
+        length=length + 2 * pad if length is not None else None,
+    )
+    if length is not None and pad > 0:
+        waveform = waveform[..., pad:-pad]
+    return waveform
+
+
+def griffinlim(
+    specgram: jnp.ndarray,
+    window: Optional[jnp.ndarray] = None,
+    n_fft: int = 400,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    power: float = 2.0,
+    n_iter: int = 32,
+    momentum: float = 0.99,
+    length: Optional[int] = None,
+    rand_init: bool = True,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Griffin-Lim phase recovery (fast variant with momentum)."""
+    if not 0 <= momentum < 1:
+        raise ValueError(f"momentum must be in range [0, 1). Found: {momentum}")
+    hop_length = hop_length or n_fft // 2
+    win_length = win_length or n_fft
+    momentum = momentum / (1 + momentum)
+
+    mag = specgram ** (1 / power)
+    cdtype = jnp.complex64 if mag.dtype != jnp.float64 else jnp.complex128
+    if rand_init:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kr, ki = jax.random.split(key)
+        angles = (
+            jax.random.uniform(kr, mag.shape, mag.dtype) + 1j * jax.random.uniform(ki, mag.shape, mag.dtype)
+        ).astype(cdtype)
+    else:
+        angles = jnp.ones(mag.shape, dtype=cdtype)
+
+    def body(_, carry):
+        angles, tprev = carry
+        inverse = _istft(
+            mag * angles, n_fft=n_fft, hop_length=hop_length, win_length=win_length, window=window, length=length
+        )
+        rebuilt = _stft(
+            inverse, n_fft=n_fft, hop_length=hop_length, win_length=win_length, window=window,
+            center=True, pad_mode="reflect", normalized=False, onesided=True,
+        )
+        angles = rebuilt - tprev * momentum if momentum else rebuilt
+        angles = angles / (jnp.abs(angles) + 1e-16)
+        return angles, rebuilt
+
+    angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles, jnp.zeros_like(angles)))
+    return _istft(
+        mag * angles, n_fft=n_fft, hop_length=hop_length, win_length=win_length, window=window, length=length
+    )
+
+
+def amplitude_to_DB(
+    x: jnp.ndarray,
+    multiplier: float,
+    amin: float,
+    db_multiplier: float,
+    top_db: Optional[float] = None,
+) -> jnp.ndarray:
+    """Power/amplitude → decibel scale with optional per-clip top_db floor."""
+    x_db = multiplier * jnp.log10(jnp.maximum(x, amin))
+    x_db = x_db - multiplier * db_multiplier
+    if top_db is not None:
+        shape = x_db.shape
+        packed_channels = shape[-3] if x_db.ndim > 2 else 1
+        x_db = x_db.reshape((-1, packed_channels) + shape[-2:])
+        cutoff = jnp.max(x_db, axis=(-3, -2, -1), keepdims=True) - top_db
+        x_db = jnp.maximum(x_db, cutoff)
+        x_db = x_db.reshape(shape)
+    return x_db
+
+
+def DB_to_amplitude(x: jnp.ndarray, ref: float, power: float) -> jnp.ndarray:
+    return ref * jnp.power(jnp.power(10.0, 0.1 * x), power)
+
+
+def phase_vocoder(complex_specgrams: jnp.ndarray, rate: float, phase_advance: jnp.ndarray) -> jnp.ndarray:
+    """Time-stretch a complex spectrogram by ``rate`` without changing pitch.
+
+    ``phase_advance`` is (freq, 1) expected phase advance per hop.  Output has
+    ``ceil(time / rate)`` frames.
+    """
+    if rate == 1.0:
+        return complex_specgrams
+    time_steps = jnp.arange(0, complex_specgrams.shape[-1], rate, dtype=jnp.zeros((), complex_specgrams.dtype).real.dtype)
+    alphas = time_steps % 1.0
+    phase_0 = jnp.angle(complex_specgrams[..., :1])
+    padded = jnp.pad(complex_specgrams, [(0, 0)] * (complex_specgrams.ndim - 1) + [(0, 2)])
+    idx = time_steps.astype(jnp.int32)
+    spec_0 = padded[..., idx]
+    spec_1 = padded[..., idx + 1]
+    angle_0 = jnp.angle(spec_0)
+    angle_1 = jnp.angle(spec_1)
+    norm_0 = jnp.abs(spec_0)
+    norm_1 = jnp.abs(spec_1)
+    phase = angle_1 - angle_0 - phase_advance
+    phase = phase - 2 * math.pi * jnp.round(phase / (2 * math.pi))
+    phase = phase + phase_advance
+    phase = jnp.concatenate([phase_0, phase[..., :-1]], axis=-1)
+    phase_acc = jnp.cumsum(phase, axis=-1)
+    mag = alphas * norm_1 + (1 - alphas) * norm_0
+    return mag * jnp.exp(1j * phase_acc)
+
+
+def spectral_centroid(
+    waveform: jnp.ndarray,
+    sample_rate: int,
+    pad: int = 0,
+    window: Optional[jnp.ndarray] = None,
+    n_fft: int = 400,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Spectral centroid in Hz per frame: (..., time)."""
+    hop_length = hop_length or n_fft // 2
+    win_length = win_length or n_fft
+    specgram = spectrogram(
+        waveform, pad=pad, window=window, n_fft=n_fft, hop_length=hop_length,
+        win_length=win_length, power=1.0, normalized=False,
+    )
+    freqs = jnp.linspace(0, sample_rate // 2, 1 + n_fft // 2, dtype=specgram.dtype)
+    return jnp.sum(freqs[..., None] * specgram, axis=-2) / jnp.sum(specgram, axis=-2)

@@ -10,5 +10,6 @@ __version__ = "0.1.0"
 
 from . import functional  # noqa: F401
 from . import ops  # noqa: F401
+from . import transforms  # noqa: F401
 
-__all__ = ["functional", "ops", "__version__"]
+__all__ = ["functional", "ops", "transforms", "__version__"]

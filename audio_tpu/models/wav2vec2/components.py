@@ -1,0 +1,389 @@
+"""wav2vec2 / HuBERT building blocks (flax.linen).
+
+Architecture parity with
+/root/reference/src/torchaudio/models/wav2vec2/components.py: ConvLayerBlock
+(:53-100), FeatureExtractor (:102-143), FeatureProjection (:146-183),
+ConvolutionalPositionalEmbedding (:185-235), SelfAttention (:237-311),
+FeedForward (:313-343), EncoderLayer (:345-402), Transformer (:404-464),
+Encoder (:466-516), MaskGenerator (:972-1102), LogitGenerator (:1104-1156).
+
+TPU-native: attention uses one fused ``jax.nn.dot_product_attention``
+(flash-attention path on TPU), padding handled by an additive mask, layer drop
+via PRNG under training.  Weight-norm on the positional conv is folded into a
+plain kernel (the checkpoint importer combines weight_g·weight_v).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_NEG_MASK = -1e4
+
+
+class ConvLayerBlock(nn.Module):
+    out_channels: int
+    kernel_size: int
+    stride: int
+    bias: bool
+    norm: Optional[str]  # None | "group_norm" | "layer_norm"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, length: Optional[jnp.ndarray]):
+        # x: (B, T, C_in) channels-last (idiomatic for TPU convs)
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding="VALID",
+            use_bias=self.bias,
+            name="conv",
+        )(x)
+        if self.norm == "group_norm":
+            # reference: GroupNorm(num_groups=out_channels) == per-channel
+            # instance norm with affine params
+            x = nn.GroupNorm(num_groups=self.out_channels, epsilon=1e-5, name="layer_norm")(x)
+        elif self.norm == "layer_norm":
+            x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
+        x = nn.gelu(x, approximate=False)
+        if length is not None:
+            length = jnp.maximum((length - self.kernel_size) // self.stride + 1, 0)
+        return x, length
+
+
+class FeatureExtractor(nn.Module):
+    """Conv stack turning waveform (B, T) into features (B, frames, C)."""
+
+    conv_layer_config: Tuple[Tuple[int, int, int], ...]  # (out_ch, kernel, stride)
+    conv_bias: bool
+    norm_mode: str  # "group_norm" | "layer_norm"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, length: Optional[jnp.ndarray]):
+        if x.ndim != 2:
+            raise ValueError(f"Expected the input Tensor to be 2D (batch, time). Found: {list(x.shape)}")
+        x = x[..., None]  # (B, T, 1)
+        for i, (out_ch, kernel, stride) in enumerate(self.conv_layer_config):
+            if self.norm_mode == "group_norm":
+                norm = "group_norm" if i == 0 else None
+            else:
+                norm = "layer_norm"
+            x, length = ConvLayerBlock(out_ch, kernel, stride, self.conv_bias, norm, name=f"conv_layers_{i}")(x, length)
+        return x, length
+
+
+class FeatureProjection(nn.Module):
+    out_features: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
+        x = nn.Dense(self.out_features, name="projection")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class ConvolutionalPositionalEmbedding(nn.Module):
+    embed_dim: int
+    kernel_size: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        # x: (B, T, C). torch pads kernel//2 both sides then removes the last
+        # frame if kernel is even.
+        num_remove = 1 if self.kernel_size % 2 == 0 else 0
+        y = nn.Conv(
+            features=self.embed_dim,
+            kernel_size=(self.kernel_size,),
+            padding=[(self.kernel_size // 2, self.kernel_size // 2)],
+            feature_group_count=self.groups,
+            name="conv",
+        )(x)
+        if num_remove > 0:
+            y = y[:, :-num_remove]
+        return nn.gelu(y, approximate=False)
+
+
+class SelfAttention(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_bias: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        head_dim = self.embed_dim // self.num_heads
+        if head_dim * self.num_heads != self.embed_dim:
+            raise ValueError(f"`embed_dim ({self.embed_dim})` is not divisible by `num_heads ({self.num_heads})`")
+        b, t, _ = x.shape
+        shape = (b, t, self.num_heads, head_dim)
+        q = nn.Dense(self.embed_dim, name="q_proj")(x).reshape(shape)
+        k = nn.Dense(self.embed_dim, name="k_proj")(x).reshape(shape)
+        v = nn.Dense(self.embed_dim, name="v_proj")(x).reshape(shape)
+        bias = attention_mask  # (B, 1, T, T) additive or None
+        out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        out = out.reshape(b, t, self.embed_dim)
+        out = nn.Dense(self.embed_dim, name="out_proj")(out)
+        return out, None
+
+
+class FeedForward(nn.Module):
+    io_features: int
+    intermediate_features: int
+    intermediate_dropout: float
+    output_dropout: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        x = nn.Dense(self.intermediate_features, name="intermediate_dense")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.intermediate_dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.io_features, name="output_dense")(x)
+        x = nn.Dropout(self.output_dropout, deterministic=deterministic)(x)
+        return x
+
+
+class EncoderLayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    attention_dropout: float
+    dropout: float
+    layer_norm_first: bool
+    ff_interm_features: int
+    ff_interm_dropout: float
+    ff_dropout: float
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        attention = SelfAttention(self.embed_dim, self.num_heads, self.attention_dropout, name="attention")
+        feed_forward = FeedForward(
+            self.embed_dim, self.ff_interm_features, self.ff_interm_dropout, self.ff_dropout, name="feed_forward"
+        )
+        residual = x
+        if self.layer_norm_first:
+            x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
+        x, position_bias = attention(x, attention_mask, position_bias, deterministic=deterministic)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = residual + x
+        if self.layer_norm_first:
+            x = x + feed_forward(nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x), deterministic=deterministic)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x + feed_forward(x, deterministic=deterministic))
+        return x, position_bias
+
+
+class Transformer(nn.Module):
+    embed_dim: int
+    num_layers: int
+    num_heads: int
+    attention_dropout: float
+    dropout: float
+    layer_norm_first: bool  # norm in _preprocess (reference passes NOT encoder_layer_norm_first here)
+    layer_layer_norm_first: bool  # norm placement inside each EncoderLayer
+    layer_drop: float
+    ff_interm_features: int
+    ff_interm_dropout: float
+    pos_conv_kernel: int
+    pos_conv_groups: int
+
+    def setup(self):
+        self.pos_conv_embed = ConvolutionalPositionalEmbedding(
+            self.embed_dim, self.pos_conv_kernel, self.pos_conv_groups, name="pos_conv_embed"
+        )
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, name="layer_norm")
+        self.drop = nn.Dropout(self.dropout)
+        self.layers = [
+            EncoderLayer(
+                self.embed_dim,
+                self.num_heads,
+                self.attention_dropout,
+                self.dropout,
+                self.layer_layer_norm_first,
+                self.ff_interm_features,
+                self.ff_interm_dropout,
+                self.dropout,
+                name=f"layers_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def _preprocess(self, x: jnp.ndarray, deterministic: bool):
+        x = x + self.pos_conv_embed(x)
+        if self.layer_norm_first:
+            x = self.layer_norm(x)
+        return self.drop(x, deterministic=deterministic)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        x = self._preprocess(x, deterministic)
+        for layer in self.layers:
+            if not deterministic and self.layer_drop > 0:
+                keep = jax.random.uniform(self.make_rng("layer_drop"), ()) > self.layer_drop
+                new_x, position_bias = layer(x, attention_mask, position_bias, deterministic=deterministic)
+                x = jnp.where(keep, new_x, x)
+            else:
+                x, position_bias = layer(x, attention_mask, position_bias, deterministic=deterministic)
+        if not self.layer_norm_first:
+            x = self.layer_norm(x)
+        return x
+
+    def get_intermediate_outputs(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        num_layers: Optional[int] = None,
+        deterministic: bool = True,
+    ) -> List[jnp.ndarray]:
+        if num_layers is not None and not 0 < num_layers <= len(self.layers):
+            raise ValueError(f"`num_layers` must be between [1, {len(self.layers)}]")
+        ret = []
+        position_bias = None
+        x = self._preprocess(x, deterministic)
+        for layer in self.layers:
+            x, position_bias = layer(x, attention_mask, position_bias, deterministic=deterministic)
+            ret.append(x)
+            if num_layers is not None and len(ret) >= num_layers:
+                break
+        return ret
+
+
+class Encoder(nn.Module):
+    embed_dim: int
+    projection_dropout: float
+    num_layers: int
+    num_heads: int
+    attention_dropout: float
+    dropout: float
+    layer_norm_first: bool
+    layer_drop: float
+    ff_interm_features: int
+    ff_interm_dropout: float
+    pos_conv_kernel: int
+    pos_conv_groups: int
+
+    def setup(self):
+        self.feature_projection = FeatureProjection(self.embed_dim, self.projection_dropout, name="feature_projection")
+        self.transformer = Transformer(
+            self.embed_dim,
+            self.num_layers,
+            self.num_heads,
+            self.attention_dropout,
+            self.dropout,
+            not self.layer_norm_first,
+            self.layer_norm_first,
+            self.layer_drop,
+            self.ff_interm_features,
+            self.ff_interm_dropout,
+            self.pos_conv_kernel,
+            self.pos_conv_groups,
+            name="transformer",
+        )
+
+    def _preprocess(self, features: jnp.ndarray, lengths: Optional[jnp.ndarray], deterministic: bool):
+        x = self.feature_projection(features, deterministic=deterministic)
+        mask = None
+        if lengths is not None:
+            b, t, _ = x.shape
+            pad = jnp.arange(t)[None, :] >= lengths[:, None]  # (B, T)
+            x = jnp.where(pad[..., None], 0.0, x)
+            mask = (_NEG_MASK * pad.astype(features.dtype))[:, None, None, :]
+            mask = jnp.broadcast_to(mask, (b, 1, t, t))
+        return x, mask
+
+    def __call__(self, features: jnp.ndarray, lengths: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        x, mask = self._preprocess(features, lengths, deterministic)
+        return self.transformer(x, attention_mask=mask, deterministic=deterministic)
+
+    def extract_features(
+        self,
+        features: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        num_layers: Optional[int] = None,
+        deterministic: bool = True,
+    ) -> List[jnp.ndarray]:
+        x, mask = self._preprocess(features, lengths, deterministic)
+        return self.transformer.get_intermediate_outputs(
+            x, attention_mask=mask, num_layers=num_layers, deterministic=deterministic
+        )
+
+
+class MaskGenerator(nn.Module):
+    """Span mask generation for SSL pretraining (components.py:972-1102).
+
+    Simplified static-shape version: samples ``mask_prob·T/mask_length``
+    span starts uniformly (with replacement), matching fairseq's "static"
+    strategy in distribution.
+    """
+
+    encoder_embed_dim: int
+    mask_prob: float
+    mask_length: int
+    mask_selection: str = "static"
+    min_masks: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray], rng: jax.Array):
+        b, t, c = x.shape
+        mask_embedding = self.param(
+            "mask_embedding", lambda key, shape: jax.random.uniform(key, shape), (self.encoder_embed_dim,)
+        )
+        num_spans = max(self.min_masks, int(self.mask_prob * t / float(self.mask_length)))
+        starts = jax.random.randint(rng, (b, num_spans), 0, max(t - self.mask_length, 1))
+        span = jnp.arange(self.mask_length)
+        idx = (starts[..., None] + span).reshape(b, -1)  # (B, spans*len)
+        mask = jnp.zeros((b, t), bool)
+        mask = jax.vmap(lambda m, i: m.at[i].set(True))(mask, idx)
+        if padding_mask is not None:
+            mask = mask & ~padding_mask
+        x = jnp.where(mask[..., None], mask_embedding.astype(x.dtype), x)
+        return x, mask
+
+
+class LogitGenerator(nn.Module):
+    """HuBERT logit generator (components.py:1104-1156)."""
+
+    encoder_embed_dim: int
+    num_classes: int
+    final_dim: int
+    skip_masked: bool = False
+    skip_nomask: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, label: jnp.ndarray, mask_m: jnp.ndarray, mask_u: jnp.ndarray):
+        label_embeddings = self.param(
+            "label_embeddings", nn.initializers.normal(0.02), (self.num_classes, self.final_dim)
+        )
+        proj = nn.Dense(self.final_dim, name="final_proj")(x)  # (B, T, D)
+
+        def cosine_logits(feats):
+            f = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
+            e = label_embeddings / (jnp.linalg.norm(label_embeddings, axis=-1, keepdims=True) + 1e-8)
+            return (f @ e.T) / 0.1
+
+        logit_m = None if self.skip_masked else jnp.where(mask_m[..., None], cosine_logits(proj), 0.0)
+        logit_u = None if self.skip_nomask else jnp.where(mask_u[..., None], cosine_logits(proj), 0.0)
+        return logit_m, logit_u

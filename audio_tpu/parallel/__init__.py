@@ -1,0 +1,19 @@
+"""Mesh / collective layer — the framework's first-class parallelism API.
+
+The reference library has no distributed code (SURVEY.md §2.3); its recipes
+lean on Lightning DDP.  Here parallelism is a core component: device meshes,
+named sharding rules for the model zoo, and sharded train/infer steps built
+on ``jax.sharding`` + ``jit`` so XLA inserts ICI/DCN collectives.
+"""
+
+from .mesh import create_mesh, default_mesh
+from .sharding import batch_sharding, replicate, shard_wav2vec2_params, wav2vec2_rules
+
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "default_mesh",
+    "replicate",
+    "shard_wav2vec2_params",
+    "wav2vec2_rules",
+]

@@ -1,0 +1,47 @@
+"""Device mesh construction helpers.
+
+Mesh axes convention used across the framework:
+
+* ``"dp"`` — data parallel (stream/batch axis); gradient psum rides ICI
+  within a slice and DCN across slices.
+* ``"tp"`` — tensor parallel (attention heads / FFN hidden of the big
+  encoders; joiner vocab of RNN-T).
+
+`create_mesh` lays dp out over the outer (slower, possibly DCN) axis and tp
+over the inner ICI axis, following the scaling-book recipe: collectives that
+run per-layer (tp) must ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["create_mesh", "default_mesh"]
+
+
+def create_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("dp", "tp") mesh over ``devices`` (default: all devices)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        if n % tp != 0:
+            raise ValueError(f"Cannot split {n} devices into tp={tp}")
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def default_mesh() -> Mesh:
+    """All devices on the dp axis (pure data parallel)."""
+    return create_mesh(tp=1)

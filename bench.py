@@ -1,0 +1,83 @@
+"""North-star benchmark: concurrent 16 kHz streams/chip at RTF<0.1.
+
+Chain per BASELINE.json configs 1+4: biquad lfilter (sox-style IIR rollout)
+→ MelSpectrogram (n_fft=400, hop=160, 80 mel) → projection to CTC emissions
+→ forced_align Viterbi DP.  B streams of 1 s audio are processed per step;
+with wall time W the chip sustains ``0.1 · B · D / W`` concurrent streams at
+RTF<0.1 (each second of audio must be processed in <0.1 s).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 1000 streams/chip (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import audio_tpu.functional as F
+    from audio_tpu._internal.windows import hann_window
+
+    B = 1024  # concurrent streams
+    SR = 16000
+    D = 1.0  # seconds per chunk
+    T = int(SR * D)
+    L = 50  # target tokens per stream
+    V = 32  # vocab
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32) * 0.1)
+    targets = jnp.asarray(rng.integers(1, V, size=(B, L)).astype(np.int32))
+    proj = jnp.asarray(rng.standard_normal((80, V)).astype(np.float32) * 0.1)
+    window = hann_window(400)
+    fb = F.melscale_fbanks(201, 0.0, 8000.0, 80, SR)
+
+    @jax.jit
+    def chain(wav, targets):
+        filtered = F.lowpass_biquad(wav, SR, 4000.0)
+        spec = F.spectrogram(
+            filtered, window=window, n_fft=400, hop_length=160, win_length=400, power=2.0, normalized=False
+        )
+        mel = jnp.einsum("bft,fm->btm", spec, fb)
+        emissions = jax.nn.log_softmax(
+            jnp.einsum("btm,mv->btv", jnp.log1p(mel), proj), axis=-1
+        )
+        paths, scores = F.forced_align(emissions, targets)
+        return paths, scores
+
+    # compile (excluded from timing; first axon compile is slow but cached)
+    paths, scores = jax.block_until_ready(chain(wav, targets))
+    assert bool(jnp.isfinite(scores).all())
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(wav, targets))
+        times.append(time.perf_counter() - t0)
+    w = float(np.median(times))
+
+    streams_at_rtf01 = 0.1 * B * D / w
+    result = {
+        "metric": "concurrent_streams_per_chip_rtf0.1",
+        "value": round(streams_at_rtf01, 1),
+        "unit": "streams (16kHz, STFT+mel+lfilter+forced_align)",
+        "vs_baseline": round(streams_at_rtf01 / 1000.0, 3),
+        "detail": {
+            "batch": B,
+            "wall_s_per_batch_s_audio": round(w, 4),
+            "audio_seconds_per_second": round(B * D / w, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Device-resident RNN-T beam search.
+
+Semantics follow the reference time-synchronous search
+(/root/reference/src/torchaudio/models/rnnt_decoder.py:75-339): per frame,
+blank extensions merge into the "b" set (logaddexp on identical token
+sequences, :140-165), non-blank top-k extensions survive only if they beat
+the k-th best b score (:167-199), inner expansion repeats up to
+``step_max_tokens``, and b is ranked by length-normalized score per frame.
+
+TPU-native redesign: hypotheses live in fixed-shape arrays
+(tokens (K, Lmax), scores (K,), predictor state stacked on a leading K axis)
+and the whole search is one jittable ``lax.scan`` over frames with a
+``fori_loop`` inner expansion — no host sync per step (the reference syncs
+``next_token_probs.cpu()`` every expansion, rnnt_decoder.py:245).
+
+Two deliberate deviations (tolerance-level, documented):
+* the reference assumes blank == last vocab index when scoring
+  (``next_token_probs[:, :-1]``); we keep that assumption;
+* the b set uses a fixed capacity of ``beam_width * (step_max_tokens + 1)``
+  slots during a frame — the exact maximum the reference's growing list can
+  reach — so the frame-end length-normalized ranking sees the same pool.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["RNNTBeamSearch", "Hypothesis"]
+
+_NEG_INF = -1.0e30
+
+
+class Hypothesis(NamedTuple):
+    """Beam of hypotheses as arrays (K = beam width)."""
+
+    tokens: jnp.ndarray  # (K, Lmax) int32, -1 padded (emitted tokens, no init blank)
+    counts: jnp.ndarray  # (K,) int32 number of emitted tokens; -1 = empty slot
+    scores: jnp.ndarray  # (K,) float raw log prob
+    pred_out: jnp.ndarray  # (K, 1, D) predictor output for the last token
+    pred_state: Any  # pytree with leading axis K
+
+
+def _take_beam(tree, idx):
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), tree)
+
+
+class RNNTBeamSearch:
+    """Beam search decoder for an ``audio_tpu.models.RNNT`` model."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        blank: int,
+        temperature: float = 1.0,
+        step_max_tokens: int = 100,
+        max_tokens: int = 256,
+    ) -> None:
+        self.model = model
+        self.params = params
+        self.blank = blank
+        self.temperature = temperature
+        self.step_max_tokens = step_max_tokens
+        self.max_tokens = max_tokens
+
+    # --- model wrappers -------------------------------------------------
+    def _predict(self, tokens, state):
+        """tokens (K, 1) -> (pred_out (K, 1, D), state)."""
+        k = tokens.shape[0]
+        out, _, new_state = self.model.apply(
+            self.params, tokens, jnp.ones((k,), jnp.int32), state, deterministic=True,
+            method=self.model.predict,
+        )
+        return out, new_state
+
+    def _join(self, enc_t, pred_out):
+        """enc_t (1, D), pred_out (K, 1, D) -> log-probs (K, V)."""
+        k = pred_out.shape[0]
+        src = jnp.broadcast_to(enc_t[None], (k, 1, enc_t.shape[-1]))
+        joined, _, _ = self.model.apply(
+            self.params, src, jnp.ones((k,), jnp.int32), pred_out, jnp.ones((k,), jnp.int32),
+            method=self.model.join,
+        )
+        return jax.nn.log_softmax(joined[:, 0, 0] / self.temperature, axis=-1)
+
+    # --- beam primitives ------------------------------------------------
+    def _init_beam(self, beam_width: int) -> Hypothesis:
+        tok = jnp.full((1, 1), self.blank, jnp.int32)
+        pred_out, state = self._predict(tok, None)
+        k = beam_width
+
+        def expand(x):
+            return jnp.concatenate([x, jnp.zeros((k - 1,) + x.shape[1:], x.dtype)], axis=0)
+
+        tokens = jnp.full((k, self.max_tokens), -1, jnp.int32)
+        counts = jnp.full((k,), -1, jnp.int32).at[0].set(0)
+        scores = jnp.full((k,), _NEG_INF).at[0].set(0.0)
+        pred_out = expand(pred_out)
+        state = jax.tree.map(expand, state)
+        return Hypothesis(tokens, counts, scores, pred_out, state)
+
+    def _merge_blank_into_b(self, b: Hypothesis, a: Hypothesis, blank_scores: jnp.ndarray) -> Hypothesis:
+        """logaddexp-merge a's blank extensions into b; insert new sequences."""
+        ka = a.counts.shape[0]
+        kb = b.counts.shape[0]
+        counts_eq = a.counts[:, None] == b.counts[None, :]
+        tokens_eq = jnp.all(
+            (a.tokens[:, None, :] == b.tokens[None, :, :]) | (a.tokens[:, None, :] < 0), axis=-1
+        )
+        valid = (a.counts[:, None] >= 0) & (b.counts[None, :] >= 0)
+        matches = counts_eq & tokens_eq & valid  # (Ka, Kb)
+        contrib = jnp.where(matches, blank_scores[:, None], _NEG_INF)
+        merged_scores = jnp.logaddexp(b.scores, jax.nn.logsumexp(contrib, axis=0))
+
+        unmatched = (~matches.any(axis=1)) & (a.counts >= 0) & (blank_scores > _NEG_INF / 2)
+        cand_scores = jnp.where(unmatched, blank_scores, _NEG_INF)
+
+        pool_scores = jnp.concatenate([merged_scores, cand_scores])
+        pool_tokens = jnp.concatenate([b.tokens, a.tokens])
+        pool_counts = jnp.concatenate([b.counts, a.counts])
+        pool_pred_out = jnp.concatenate([b.pred_out, a.pred_out])
+        pool_state = jax.tree.map(lambda x, y: jnp.concatenate([x, y]), b.pred_state, a.pred_state)
+
+        top_scores, top_idx = jax.lax.top_k(pool_scores, kb)
+        new_counts = jnp.where(top_scores > _NEG_INF / 2, jnp.take(pool_counts, top_idx), -1)
+        return Hypothesis(
+            jnp.take(pool_tokens, top_idx, axis=0),
+            new_counts,
+            top_scores,
+            jnp.take(pool_pred_out, top_idx, axis=0),
+            _take_beam(pool_state, top_idx),
+        )
+
+    def _expand_a(self, a: Hypothesis, probs: jnp.ndarray, b_kth_score, beam_width: int) -> Hypothesis:
+        """Non-blank top-k extensions that beat the k-th best b score."""
+        nonblank = probs[:, :-1]  # blank assumed last, as the reference scores
+        cand = jnp.where((a.counts >= 0)[:, None], a.scores[:, None] + nonblank, _NEG_INF)
+        flat_scores, flat_idx = jax.lax.top_k(cand.reshape(-1), beam_width)
+        hypo_idx = flat_idx // nonblank.shape[1]
+        token_idx = flat_idx % nonblank.shape[1]
+        keep = flat_scores > b_kth_score
+
+        base_tokens = jnp.take(a.tokens, hypo_idx, axis=0)
+        base_counts = jnp.take(a.counts, hypo_idx)
+        pos = jnp.clip(base_counts, 0, self.max_tokens - 1)
+        new_tokens = base_tokens.at[jnp.arange(beam_width), pos].set(token_idx.astype(jnp.int32))
+        new_counts = jnp.where(keep, base_counts + 1, -1)
+        new_scores = jnp.where(keep, flat_scores, _NEG_INF)
+
+        base_state = _take_beam(a.pred_state, hypo_idx)
+        pred_out, new_state = self._predict(token_idx[:, None].astype(jnp.int32), base_state)
+        return Hypothesis(new_tokens, new_counts, new_scores, pred_out, new_state)
+
+    def _empty_b(self, capacity: int, template: Hypothesis) -> Hypothesis:
+        def grow(x):
+            return jnp.zeros((capacity,) + x.shape[1:], x.dtype)
+
+        return Hypothesis(
+            jnp.full((capacity, template.tokens.shape[1]), -1, template.tokens.dtype),
+            jnp.full((capacity,), -1, template.counts.dtype),
+            jnp.full((capacity,), _NEG_INF, template.scores.dtype),
+            grow(template.pred_out),
+            jax.tree.map(grow, template.pred_state),
+        )
+
+    def _search(self, enc_out: jnp.ndarray, init: Hypothesis, beam_width: int) -> Hypothesis:
+        """enc_out (T, D); scans frames, returns the final beam (sorted)."""
+
+        b_capacity = beam_width * (self.step_max_tokens + 1)
+
+        def time_step(b: Hypothesis, enc_t: jnp.ndarray) -> Tuple[Hypothesis, None]:
+            a = b
+            b = self._empty_b(b_capacity, a)
+
+            def inner(i, carry):
+                a, b = carry
+                probs = self._join(enc_t[None], a.pred_out)  # (K, V)
+                blank_scores = jnp.where(a.counts >= 0, a.scores + probs[:, -1], _NEG_INF)
+                b = self._merge_blank_into_b(b, a, blank_scores)
+                # reference: candidates must beat the beam_width-th best RAW
+                # b score; -inf while fewer than beam_width b hypos exist
+                n_alive_b = jnp.sum(b.counts >= 0)
+                top_b, _ = jax.lax.top_k(b.scores, beam_width)
+                kth = jnp.where(n_alive_b >= beam_width, top_b[-1], _NEG_INF)
+                a = self._expand_a(a, probs, kth, beam_width)
+                return a, b
+
+            a, b = jax.lax.fori_loop(0, self.step_max_tokens + 1, inner, (a, b))
+            # rank by length-normalized score: tokens include the init blank in
+            # the reference, so len(tokens)+1 == emitted + 2
+            norm = jnp.where(b.counts >= 0, b.scores / (b.counts + 2.0), _NEG_INF)
+            _, order = jax.lax.top_k(norm, beam_width)
+            return Hypothesis(
+                jnp.take(b.tokens, order, axis=0),
+                jnp.take(b.counts, order),
+                jnp.take(b.scores, order),
+                jnp.take(b.pred_out, order, axis=0),
+                _take_beam(b.pred_state, order),
+            ), None
+
+        final, _ = jax.lax.scan(time_step, init, enc_out)
+        return final
+
+    # --- public API -----------------------------------------------------
+    def forward(self, input: jnp.ndarray, length: jnp.ndarray, beam_width: int) -> Hypothesis:
+        """Offline search. input (T, D) or (1, T, D); returns the final beam."""
+        if input.ndim == 2:
+            input = input[None]
+        if jnp.ndim(length) == 0:
+            length = length[None]
+        enc_out, _ = self.model.apply(
+            self.params, input, length, deterministic=True, method=self.model.transcribe
+        )
+        init = self._init_beam(beam_width)
+        return self._search(enc_out[0], init, beam_width)
+
+    def infer(
+        self,
+        input: jnp.ndarray,
+        length: jnp.ndarray,
+        beam_width: int,
+        state=None,
+        hypothesis: Optional[Hypothesis] = None,
+    ) -> Tuple[Hypothesis, Any]:
+        """Streaming search step; carries transcriber state + beam."""
+        if input.ndim == 2:
+            input = input[None]
+        if jnp.ndim(length) == 0:
+            length = length[None]
+        enc_out, _, state = self.model.apply(
+            self.params, input, length, state, deterministic=True, method=self.model.transcribe_streaming
+        )
+        hypo = self._init_beam(beam_width) if hypothesis is None else hypothesis
+        return self._search(enc_out[0], hypo, beam_width), state
+
+    @staticmethod
+    def hypo_tokens(hypo: Hypothesis, i: int = 0) -> List[int]:
+        """Extract the i-th hypothesis' emitted tokens as a python list."""
+        n = int(hypo.counts[i])
+        return [int(t) for t in np.asarray(hypo.tokens[i, : max(n, 0)])]

@@ -1,0 +1,103 @@
+"""RNNT beam search: compare decoded sequences with the reference torch
+decoder running the same model weights."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audio_tpu.models.rnnt import emformer_rnnt_model, import_rnnt_state_dict
+from audio_tpu.models.rnnt_decoder import RNNTBeamSearch
+
+from .test_rnnt import CFG, ref  # reuse the reference loader fixture
+
+
+@pytest.fixture(scope="module")
+def ref_decoder(ref):
+    if "_ref_rnnt_decoder" in sys.modules:
+        return sys.modules["_ref_rnnt_decoder"]
+    stub_ta = types.ModuleType("torchaudio")
+    stub_models = types.ModuleType("torchaudio.models")
+    stub_models.RNNT = ref.RNNT
+    stub_ta.models = stub_models
+    had_ta = sys.modules.get("torchaudio")
+    had_models = sys.modules.get("torchaudio.models")
+    sys.modules["torchaudio"] = stub_ta
+    sys.modules["torchaudio.models"] = stub_models
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_rnnt_decoder", "/root/reference/src/torchaudio/models/rnnt_decoder.py"
+        )
+        m = importlib.util.module_from_spec(spec)
+        sys.modules["_ref_rnnt_decoder"] = m
+        spec.loader.exec_module(m)
+    finally:
+        for name, had in (("torchaudio", had_ta), ("torchaudio.models", had_models)):
+            if had is not None:
+                sys.modules[name] = had
+            else:
+                sys.modules.pop(name, None)
+    return m
+
+
+@pytest.fixture(scope="module")
+def decoders(ref, ref_decoder):
+    torch.manual_seed(3)
+    tmodel = ref.emformer_rnnt_model(**CFG)
+    tmodel.eval()
+    params = {"params": import_rnnt_state_dict({k: v.numpy() for k, v in tmodel.state_dict().items()})}
+    jmodel = emformer_rnnt_model(**CFG)
+    # blank must be the last vocab index (the reference decoder's scoring
+    # assumption, rnnt_decoder.py:62-67)
+    blank = CFG["num_symbols"] - 1
+    t_dec = ref_decoder.RNNTBeamSearch(tmodel, blank=blank, step_max_tokens=10)
+    j_dec = RNNTBeamSearch(jmodel, params, blank=blank, step_max_tokens=10, max_tokens=64)
+    return t_dec, j_dec, blank
+
+
+class TestRNNTBeamSearch:
+    @pytest.mark.parametrize("seed", range(3))
+    @pytest.mark.parametrize("beam_width", [1, 4])
+    def test_top1_matches_reference(self, decoders, seed, beam_width):
+        t_dec, j_dec, blank = decoders
+        rng = np.random.default_rng(seed)
+        t_len = CFG["segment_length"] * 2 + CFG["right_context_length"]
+        x = rng.standard_normal((t_len, CFG["input_dim"])).astype(np.float32)
+        with torch.no_grad():
+            t_hypos = t_dec(torch.from_numpy(x), torch.tensor(t_len), beam_width)
+        t_top = t_hypos[0][0][1:]  # drop the initial blank token
+        t_score = t_hypos[0][3]
+
+        j_beam = j_dec.forward(jnp.asarray(x), jnp.asarray(t_len), beam_width)
+        j_top = RNNTBeamSearch.hypo_tokens(j_beam, 0)
+        assert j_top == list(t_top), (j_top, t_top)
+        np.testing.assert_allclose(float(j_beam.scores[0]), t_score, atol=1e-3)
+
+    def test_streaming_infer_runs(self, decoders):
+        _, j_dec, _ = decoders
+        rng = np.random.default_rng(5)
+        seg = CFG["segment_length"] + CFG["right_context_length"]
+        state, hypo = None, None
+        for _ in range(3):
+            x = jnp.asarray(rng.standard_normal((seg, CFG["input_dim"])).astype(np.float32))
+            hypo, state = j_dec.infer(x, jnp.asarray(seg), 4, state, hypo)
+        tokens = RNNTBeamSearch.hypo_tokens(hypo, 0)
+        assert isinstance(tokens, list)
+        assert np.isfinite(float(hypo.scores[0]))
+
+    def test_search_is_jittable(self, decoders):
+        _, j_dec, _ = decoders
+        rng = np.random.default_rng(6)
+        t_len = CFG["segment_length"] + CFG["right_context_length"]
+        x = jnp.asarray(rng.standard_normal((t_len, CFG["input_dim"])).astype(np.float32))
+
+        fwd = jax.jit(lambda inp, ln: j_dec.forward(inp, ln, 4))
+        beam = fwd(x, jnp.asarray(t_len))
+        beam2 = fwd(x, jnp.asarray(t_len))
+        np.testing.assert_array_equal(np.asarray(beam.tokens), np.asarray(beam2.tokens))

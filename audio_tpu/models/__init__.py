@@ -1,10 +1,24 @@
 """Models layer (torchaudio.models parity, flax.linen on TPU).
 
-Mirrors /root/reference/src/torchaudio/models/__init__.py:41-86 as the zoo
-fills in: wav2vec2/HuBERT family first, then Conformer, Emformer, RNNT,
-Tacotron2, WaveRNN, ConvTasNet, HDemucs, Squim, DeepSpeech, Wav2Letter.
+Mirrors /root/reference/src/torchaudio/models/__init__.py:41-86.
 """
 
+from .conformer import Conformer
+from .conv_tasnet import ConvTasNet, conv_tasnet_base
+from .deepspeech import DeepSpeech
+from .emformer import Emformer
+from .rnnt import RNNT, emformer_rnnt_base, emformer_rnnt_model
+from .rnnt_decoder import Hypothesis, RNNTBeamSearch
+from .squim import (
+    SquimObjective,
+    SquimSubjective,
+    squim_objective_base,
+    squim_objective_model,
+    squim_subjective_base,
+    squim_subjective_model,
+)
+from .wav2letter import Wav2Letter
+from .wavernn import WaveRNN
 from .wav2vec2 import (
     HuBERTPretrainModel,
     Wav2Vec2Model,
@@ -25,8 +39,22 @@ from .wav2vec2 import (
 )
 
 __all__ = [
+    "Conformer",
+    "ConvTasNet",
+    "DeepSpeech",
+    "Emformer",
     "HuBERTPretrainModel",
+    "Hypothesis",
+    "RNNT",
+    "RNNTBeamSearch",
+    "SquimObjective",
+    "SquimSubjective",
+    "Wav2Letter",
     "Wav2Vec2Model",
+    "WaveRNN",
+    "conv_tasnet_base",
+    "emformer_rnnt_base",
+    "emformer_rnnt_model",
     "hubert_base",
     "hubert_large",
     "hubert_pretrain_base",
@@ -34,6 +62,10 @@ __all__ = [
     "hubert_pretrain_model",
     "hubert_pretrain_xlarge",
     "hubert_xlarge",
+    "squim_objective_base",
+    "squim_objective_model",
+    "squim_subjective_base",
+    "squim_subjective_model",
     "wav2vec2_base",
     "wav2vec2_large",
     "wav2vec2_large_lv60k",

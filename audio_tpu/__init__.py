@@ -9,7 +9,9 @@ See SURVEY.md at the repo root for the blueprint.
 __version__ = "0.1.0"
 
 from . import functional  # noqa: F401
+from . import io  # noqa: F401
 from . import ops  # noqa: F401
 from . import transforms  # noqa: F401
+from .io import load, save  # noqa: F401
 
-__all__ = ["functional", "ops", "transforms", "__version__"]
+__all__ = ["functional", "io", "load", "ops", "save", "transforms", "__version__"]

@@ -1,0 +1,162 @@
+"""Pure-numpy WAV codec with the torchaudio load/save contract.
+
+Handles RIFF/WAVE PCM (8/16/24/32-bit int), IEEE float (32/64-bit), and
+WAVE_FORMAT_EXTENSIBLE.  The contract mirrors
+/root/reference/src/torchaudio/__init__.py:18-204: ``load`` returns
+(waveform, sample_rate) with normalized float32 by default and
+channels-first layout.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import wave
+from typing import BinaryIO, Optional, Tuple, Union
+
+import numpy as np
+
+__all__ = ["load", "save"]
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _parse_wav(data: bytes):
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("Not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    frames = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
+                (sub_format,) = struct.unpack("<H", body[24:26])
+                fmt = (sub_format,) + fmt[1:]
+        elif chunk_id == b"data":
+            frames = body
+        pos += 8 + chunk_size + (chunk_size % 2)
+    if fmt is None or frames is None:
+        raise ValueError("Malformed WAV: missing fmt or data chunk")
+    return fmt, frames
+
+
+def _decode(fmt, frames: bytes) -> Tuple[np.ndarray, int, int]:
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == _WAVE_FORMAT_PCM:
+        if bits == 8:
+            x = np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+            x = x.astype(np.float32) / 128.0
+            raw = (np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128) << 8
+        elif bits == 16:
+            raw = np.frombuffer(frames, dtype="<i2")
+            x = raw.astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+            raw = (
+                b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8) | (b[:, 2].astype(np.int32) << 16)
+            )
+            raw = (raw << 8) >> 8  # sign-extend
+            x = raw.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            raw = np.frombuffer(frames, dtype="<i4")
+            x = raw.astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"Unsupported PCM bit depth: {bits}")
+    elif audio_format == _WAVE_FORMAT_IEEE_FLOAT:
+        dtype = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(frames, dtype=dtype).astype(np.float32)
+        raw = x
+    else:
+        raise ValueError(f"Unsupported WAV format code: {audio_format:#x}")
+    x = x.reshape(-1, n_channels)
+    return x, sample_rate, bits
+
+
+def load(
+    uri: Union[BinaryIO, str, os.PathLike],
+    frame_offset: int = 0,
+    num_frames: int = -1,
+    normalize: bool = True,
+    channels_first: bool = True,
+    format: Optional[str] = None,
+    buffer_size: int = 4096,
+    backend: Optional[str] = None,
+) -> Tuple[np.ndarray, int]:
+    """Load audio; returns (waveform float32 [channel, time], sample_rate)."""
+    if hasattr(uri, "read"):
+        data = uri.read()
+    else:
+        with open(uri, "rb") as f:
+            data = f.read()
+    if data[:4] == b"RIFF":
+        fmt, frames = _parse_wav(data)
+        x, sample_rate, _ = _decode(fmt, frames)
+    else:
+        # non-WAV container: try soundfile, then scipy (neither handles e.g.
+        # mp3 without libsndfile support — the reference needs FFmpeg too)
+        try:
+            import soundfile as sf
+
+            x, sample_rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+        except ImportError as err:
+            raise ValueError(
+                "Only WAV files are supported by the built-in codec; install soundfile for other formats"
+            ) from err
+    if frame_offset > 0:
+        x = x[frame_offset:]
+    if num_frames >= 0:
+        x = x[:num_frames]
+    if channels_first:
+        x = np.ascontiguousarray(x.T)
+    return x.astype(np.float32), sample_rate
+
+
+def save(
+    uri: Union[str, os.PathLike],
+    src,
+    sample_rate: int,
+    channels_first: bool = True,
+    format: Optional[str] = None,
+    encoding: Optional[str] = None,
+    bits_per_sample: Optional[int] = None,
+    buffer_size: int = 4096,
+    backend: Optional[str] = None,
+    compression=None,
+) -> None:
+    """Save float waveform to WAV (PCM_S 16/32 or PCM_F)."""
+    x = np.asarray(src)
+    if x.ndim == 1:
+        x = x[None] if channels_first else x[:, None]
+    if channels_first:
+        x = x.T  # (time, channel)
+    bits = bits_per_sample or 16
+    enc = encoding or ("PCM_S" if bits in (16, 24, 32) else "PCM_F")
+    if enc == "PCM_F" or bits == 64:
+        audio_format, dtype, bits = _WAVE_FORMAT_IEEE_FLOAT, "<f4", 32
+        frames = x.astype(dtype).tobytes()
+    elif bits == 16:
+        audio_format = _WAVE_FORMAT_PCM
+        frames = (np.clip(x, -1, 1) * 32767.0).astype("<i2").tobytes()
+    elif bits == 32:
+        audio_format = _WAVE_FORMAT_PCM
+        frames = (np.clip(x, -1, 1) * 2147483647.0).astype("<i4").tobytes()
+    elif bits == 8:
+        audio_format = _WAVE_FORMAT_PCM
+        frames = ((np.clip(x, -1, 1) * 127.0) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"Unsupported bits_per_sample: {bits}")
+    n_channels = x.shape[1]
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    header = b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+    header += b"fmt " + struct.pack("<IHHIIHH", 16, audio_format, n_channels, sample_rate, byte_rate, block_align, bits)
+    header += b"data" + struct.pack("<I", len(frames))
+    with open(uri, "wb") as f:
+        f.write(header + frames)

@@ -18,6 +18,7 @@ from .squim import (
     squim_subjective_model,
 )
 from .wav2letter import Wav2Letter
+from .wavlm import WavLMModel, wavlm_base, wavlm_base_plus, wavlm_large, wavlm_model
 from .wavernn import WaveRNN
 from .wav2vec2 import (
     HuBERTPretrainModel,
@@ -52,6 +53,7 @@ __all__ = [
     "Wav2Letter",
     "Wav2Vec2Model",
     "WaveRNN",
+    "WavLMModel",
     "conv_tasnet_base",
     "emformer_rnnt_base",
     "emformer_rnnt_model",
@@ -73,4 +75,8 @@ __all__ = [
     "wav2vec2_xlsr_1b",
     "wav2vec2_xlsr_2b",
     "wav2vec2_xlsr_300m",
+    "wavlm_base",
+    "wavlm_base_plus",
+    "wavlm_large",
+    "wavlm_model",
 ]

@@ -7,6 +7,7 @@ from .conformer import Conformer
 from .conv_tasnet import ConvTasNet, conv_tasnet_base
 from .deepspeech import DeepSpeech
 from .emformer import Emformer
+from .hdemucs import HDemucs, hdemucs_high, hdemucs_low, hdemucs_medium
 from .rnnt import RNNT, emformer_rnnt_base, emformer_rnnt_model
 from .rnnt_decoder import Hypothesis, RNNTBeamSearch
 from .squim import (
@@ -44,6 +45,7 @@ __all__ = [
     "ConvTasNet",
     "DeepSpeech",
     "Emformer",
+    "HDemucs",
     "HuBERTPretrainModel",
     "Hypothesis",
     "RNNT",
@@ -57,6 +59,9 @@ __all__ = [
     "conv_tasnet_base",
     "emformer_rnnt_base",
     "emformer_rnnt_model",
+    "hdemucs_high",
+    "hdemucs_low",
+    "hdemucs_medium",
     "hubert_base",
     "hubert_large",
     "hubert_pretrain_base",

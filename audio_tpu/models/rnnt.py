@@ -57,6 +57,12 @@ class _CustomLSTM(nn.Module):
 
         gated_input = x2g(input)  # hoisted input matmul (T, B, 4H)
 
+        if self.is_initializing():
+            # create p2g/norm params in the outer trace; creating them inside
+            # the lax.scan body would leak tracers into the param tree
+            c_norm(c)
+            g_norm(gated_input[0] + p2g(h))
+
         def step(carry, g_t):
             h, c = carry
             gates = g_norm(g_t + p2g(h))

@@ -44,3 +44,7 @@ def get_sinusoid(frequency=300, sample_rate=16000, duration=1.0, n_channels=1, d
     t = np.arange(int(sample_rate * duration), dtype=np.float64) / sample_rate
     x = np.sin(2 * np.pi * frequency * t).astype(dtype)
     return np.tile(x, (n_channels, 1))
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running recipe/integration test")

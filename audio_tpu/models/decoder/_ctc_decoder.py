@@ -16,6 +16,7 @@ token), max/logadd merging, beam/threshold/token pruning).
 from __future__ import annotations
 
 import math
+import os
 from abc import ABC, abstractmethod
 from collections import namedtuple
 from dataclasses import dataclass, field
@@ -82,6 +83,82 @@ class _ZeroLM(CTCDecoderLM):
 
     def finish(self, state):
         return state, 0.0
+
+
+class _ArpaLM(CTCDecoderLM):
+    """Word-level n-gram LM read from an ARPA text file (Katz backoff).
+
+    Stands in for the KenLM models the reference loads through flashlight;
+    scores are the ARPA file's log10 probabilities, as KenLM reports them.
+    States are the last ``order - 1`` scored words.
+    """
+
+    def __init__(self, path: str, word_dict: "_Dictionary"):
+        self._word_dict = word_dict
+        self._ngrams: Dict[tuple, Tuple[float, float]] = {}
+        self.order = 0
+        section = 0
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("ngram ") or line == "\\data\\":
+                    continue
+                if line == "\\end\\":
+                    break
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    section = int(line[1:].split("-")[0])
+                    self.order = max(self.order, section)
+                    continue
+                if section:
+                    parts = line.split()
+                    logp = float(parts[0])
+                    words = tuple(parts[1 : 1 + section])
+                    backoff = float(parts[1 + section]) if len(parts) > 1 + section else 0.0
+                    self._ngrams[words] = (logp, backoff)
+        self._states: Dict[tuple, CTCDecoderLMState] = {}
+
+    def _state(self, ctx: tuple) -> CTCDecoderLMState:
+        st = self._states.get(ctx)
+        if st is None:
+            st = CTCDecoderLMState()
+            st._arpa_ctx = ctx
+            self._states[ctx] = st
+        return st
+
+    def _logprob(self, ctx: tuple, word: str) -> float:
+        if (word,) not in self._ngrams:
+            word = "<unk>"
+            if (word,) not in self._ngrams:
+                return -10.0
+        # Katz backoff: p(w|ctx) = p_ngram if seen else backoff(ctx)+p(w|ctx[1:])
+        total = 0.0
+        while True:
+            hit = self._ngrams.get(ctx + (word,))
+            if hit is not None:
+                return total + hit[0]
+            if not ctx:
+                return total + self._ngrams[(word,)][0]
+            bo = self._ngrams.get(ctx)
+            total += bo[1] if bo is not None else 0.0
+            ctx = ctx[1:]
+
+    def start(self, start_with_nothing: bool) -> CTCDecoderLMState:
+        return self._state(() if start_with_nothing else ("<s>",))
+
+    def _advance(self, ctx: tuple, word: str) -> tuple:
+        new_ctx = (ctx + (word,))[-(self.order - 1) :] if self.order > 1 else ()
+        return new_ctx
+
+    def score(self, state, usr_token_idx: int):
+        ctx = state._arpa_ctx
+        word = self._word_dict.get_entry(usr_token_idx)
+        s = self._logprob(ctx, word)
+        known = (word,) in self._ngrams
+        return self._state(self._advance(ctx, word if known else "<unk>")), s
+
+    def finish(self, state):
+        ctx = state._arpa_ctx
+        return self._state(self._advance(ctx, "</s>")), self._logprob(ctx, "</s>")
 
 
 class _Dictionary:
@@ -213,6 +290,22 @@ class CTCDecoder:
         self.trie = _construct_trie(tokens_dict, word_dict, lexicon, lm, self.silence) if lexicon else None
         self.unk_word = word_dict.get_index(unk_word) if (lexicon and unk_word in word_dict) else -1
         self._state = None
+        self._native = None
+        self._native_failed = os.environ.get("AUDIO_TPU_DISABLE_NATIVE", "") == "1"
+
+    def _get_native(self):
+        """Native (C++) beam-search core; None if unavailable."""
+        if self._native is None and not self._native_failed:
+            try:
+                from ._native import NativeBeamSearch
+
+                self._native = NativeBeamSearch(
+                    self.trie, self.opts, self.blank, self.silence, self.lm,
+                    zero_lm=isinstance(self.lm, _ZeroLM),
+                )
+            except Exception:
+                self._native_failed = True
+        return self._native
 
     # ------------------------------------------------------------------
     def _merge_key(self, h: _Hypo):
@@ -353,13 +446,22 @@ class CTCDecoder:
 
     # ------------------------------------------------------------------
     def decode_begin(self):
-        self._state = self._start_hypos()
+        native = self._get_native()
+        if native is not None:
+            native.begin()
+        else:
+            self._state = self._start_hypos()
         self._t = 0
 
     def decode_step(self, emissions: np.ndarray):
         emissions = np.asarray(emissions)
         if emissions.ndim != 2:
             raise RuntimeError(f"emissions must be 2D. Found {emissions.shape}")
+        native = self._get_native()
+        if native is not None:
+            native.step(emissions)
+            self._t += emissions.shape[0]
+            return
         if self._state is None:
             raise RuntimeError("call decode_begin first")
         for frame in emissions:
@@ -367,9 +469,26 @@ class CTCDecoder:
             self._t += 1
 
     def decode_end(self):
-        self._state = self._finish(self._state)
+        native = self._get_native()
+        if native is not None:
+            native.end()
+        else:
+            self._state = self._finish(self._state)
 
     def get_final_hypothesis(self) -> List[CTCHypothesis]:
+        native = self._get_native()
+        if native is not None:
+            out = []
+            for score, tokens, timesteps, words in native.hypotheses(self.nbest, self._t + 2):
+                out.append(
+                    CTCHypothesis(
+                        tokens=tokens.astype(np.int64),
+                        words=[self.word_dict.get_entry(int(w)) for w in words],
+                        score=score,
+                        timesteps=timesteps.astype(np.int32),
+                    )
+                )
+            return out
         return self._to_hypo(self._state[: self.nbest])
 
     def __call__(self, emissions, lengths=None) -> List[List[CTCHypothesis]]:
@@ -423,10 +542,15 @@ def ctc_decoder(
         word_dict = _Dictionary([tokens_dict.get_entry(i) for i in range(tokens_dict.index_size())])
 
     if isinstance(lm, str):
-        raise NotImplementedError(
-            "KenLM binary language models are not supported by the built-in decoder; "
-            "pass a CTCDecoderLM instance instead."
-        )
+        with open(lm, "rb") as f:
+            head = f.read(64)
+        if head.lstrip().startswith(b"\\data\\"):
+            lm = _ArpaLM(lm, word_dict)
+        else:
+            raise NotImplementedError(
+                "KenLM binary language models are not supported by the built-in "
+                "decoder; pass an ARPA text file or a CTCDecoderLM instance instead."
+            )
     if lm is None:
         lm = _ZeroLM()
 

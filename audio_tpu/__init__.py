@@ -8,10 +8,30 @@ See SURVEY.md at the repo root for the blueprint.
 
 __version__ = "0.1.0"
 
+from . import compliance  # noqa: F401
+from . import datasets  # noqa: F401
 from . import functional  # noqa: F401
 from . import io  # noqa: F401
+from . import models  # noqa: F401
 from . import ops  # noqa: F401
+from . import pipelines  # noqa: F401
 from . import transforms  # noqa: F401
-from .io import load, save  # noqa: F401
+from . import utils  # noqa: F401
+from .io import AudioMetaData, info, load, save  # noqa: F401
 
-__all__ = ["functional", "io", "load", "ops", "save", "transforms", "__version__"]
+__all__ = [
+    "AudioMetaData",
+    "compliance",
+    "datasets",
+    "functional",
+    "info",
+    "io",
+    "load",
+    "models",
+    "ops",
+    "pipelines",
+    "save",
+    "transforms",
+    "utils",
+    "__version__",
+]

@@ -9,6 +9,6 @@ natively in numpy, and other formats route through ``scipy.io`` or
 argument contract (frame_offset/num_frames/normalize/channels_first).
 """
 
-from ._wav import load, save
+from ._wav import AudioMetaData, info, load, save
 
-__all__ = ["load", "save"]
+__all__ = ["AudioMetaData", "info", "load", "save"]

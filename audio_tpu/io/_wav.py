@@ -17,7 +17,7 @@ from typing import BinaryIO, Optional, Tuple, Union
 
 import numpy as np
 
-__all__ = ["load", "save"]
+__all__ = ["AudioMetaData", "info", "load", "save"]
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -47,13 +47,51 @@ def _parse_wav(data: bytes):
     return fmt, frames
 
 
+class AudioMetaData:
+    """Return type of :func:`info` (torchaudio AudioMetaData contract)."""
+
+    def __init__(self, sample_rate, num_frames, num_channels, bits_per_sample, encoding):
+        self.sample_rate = sample_rate
+        self.num_frames = num_frames
+        self.num_channels = num_channels
+        self.bits_per_sample = bits_per_sample
+        self.encoding = encoding
+
+    def __repr__(self):
+        return (
+            f"AudioMetaData(sample_rate={self.sample_rate}, num_frames={self.num_frames}, "
+            f"num_channels={self.num_channels}, bits_per_sample={self.bits_per_sample}, "
+            f"encoding={self.encoding!r})"
+        )
+
+
+def info(uri: Union[BinaryIO, str, os.PathLike], format: Optional[str] = None,
+         buffer_size: int = 4096, backend: Optional[str] = None) -> AudioMetaData:
+    """Metadata of a WAV file without decoding the samples."""
+    if hasattr(uri, "read"):
+        data = uri.read()
+    else:
+        with open(uri, "rb") as f:
+            data = f.read()
+    fmt, frames = _parse_wav(data)
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == _WAVE_FORMAT_PCM:
+        encoding = "PCM_U" if bits == 8 else "PCM_S"
+    elif audio_format == _WAVE_FORMAT_IEEE_FLOAT:
+        encoding = "PCM_F"
+    else:
+        encoding = "UNKNOWN"
+    num_frames = len(frames) // block_align if block_align else 0
+    return AudioMetaData(sample_rate, num_frames, n_channels, bits, encoding)
+
+
 def _decode(fmt, frames: bytes) -> Tuple[np.ndarray, int, int]:
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_PCM:
         if bits == 8:
             x = np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
             x = x.astype(np.float32) / 128.0
-            raw = (np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128) << 8
+            raw = np.frombuffer(frames, dtype=np.uint8)
         elif bits == 16:
             raw = np.frombuffer(frames, dtype="<i2")
             x = raw.astype(np.float32) / 32768.0
@@ -62,8 +100,8 @@ def _decode(fmt, frames: bytes) -> Tuple[np.ndarray, int, int]:
             raw = (
                 b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8) | (b[:, 2].astype(np.int32) << 16)
             )
-            raw = (raw << 8) >> 8  # sign-extend
-            x = raw.astype(np.float32) / 8388608.0
+            raw = ((raw << 8) >> 8) << 8  # sign-extend, left-justify as int32
+            x = raw.astype(np.float32) / 2147483648.0
         elif bits == 32:
             raw = np.frombuffer(frames, dtype="<i4")
             x = raw.astype(np.float32) / 2147483648.0
@@ -76,7 +114,8 @@ def _decode(fmt, frames: bytes) -> Tuple[np.ndarray, int, int]:
     else:
         raise ValueError(f"Unsupported WAV format code: {audio_format:#x}")
     x = x.reshape(-1, n_channels)
-    return x, sample_rate, bits
+    raw = raw.reshape(-1, n_channels)
+    return x, sample_rate, bits, raw
 
 
 def load(
@@ -97,7 +136,9 @@ def load(
             data = f.read()
     if data[:4] == b"RIFF":
         fmt, frames = _parse_wav(data)
-        x, sample_rate, _ = _decode(fmt, frames)
+        x, sample_rate, _, raw = _decode(fmt, frames)
+        if not normalize and fmt[0] == _WAVE_FORMAT_PCM:
+            x = raw  # torchaudio contract: raw integer dtype (uint8/int16/int32)
     else:
         # non-WAV container: try soundfile, then scipy (neither handles e.g.
         # mp3 without libsndfile support — the reference needs FFmpeg too)
@@ -115,7 +156,9 @@ def load(
         x = x[:num_frames]
     if channels_first:
         x = np.ascontiguousarray(x.T)
-    return x.astype(np.float32), sample_rate
+    if x.dtype.kind == "f":
+        x = x.astype(np.float32)
+    return x, sample_rate
 
 
 def save(

@@ -69,6 +69,29 @@ class TestWavIO:
         y, sr = aio.load(path)
         np.testing.assert_allclose(y[0], samples / (1 << 23), atol=1e-6)
 
+    def test_info(self, tmp_path):
+        x = np.zeros((2, 500), np.float32)
+        path = tmp_path / "i.wav"
+        aio.save(path, x, 22050, bits_per_sample=16)
+        m = aio.info(path)
+        assert (m.sample_rate, m.num_frames, m.num_channels) == (22050, 500, 2)
+        assert m.bits_per_sample == 16 and m.encoding == "PCM_S"
+        aio.save(path, x, 8000, bits_per_sample=32, encoding="PCM_F")
+        m = aio.info(path)
+        assert m.encoding == "PCM_F" and m.bits_per_sample == 32
+
+    def test_load_normalize_false(self, tmp_path):
+        x = np.asarray([[0.0, 0.5, -0.5, 1.0]], np.float32)
+        path = tmp_path / "n.wav"
+        aio.save(path, x, 8000, bits_per_sample=16)
+        raw, _ = aio.load(path, normalize=False)
+        assert raw.dtype == np.int16
+        np.testing.assert_array_equal(raw[0], [0, 16383, -16383, 32767])
+        # float encodings ignore normalize (torchaudio contract)
+        aio.save(path, x, 8000, bits_per_sample=32, encoding="PCM_F")
+        f, _ = aio.load(path, normalize=False)
+        assert f.dtype == np.float32
+
 
 def _save_wav(path, data, sr):
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -6,13 +6,15 @@ named sharding rules for the model zoo, and sharded train/infer steps built
 on ``jax.sharding`` + ``jit`` so XLA inserts ICI/DCN collectives.
 """
 
-from .mesh import create_mesh, default_mesh
+from .mesh import create_mesh, default_mesh, host_chip_mesh, init_distributed
 from .sharding import batch_sharding, replicate, shard_wav2vec2_params, wav2vec2_rules
 
 __all__ = [
     "batch_sharding",
     "create_mesh",
     "default_mesh",
+    "host_chip_mesh",
+    "init_distributed",
     "replicate",
     "shard_wav2vec2_params",
     "wav2vec2_rules",

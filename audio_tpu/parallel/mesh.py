@@ -20,7 +20,34 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["create_mesh", "default_mesh"]
+__all__ = ["create_mesh", "default_mesh", "init_distributed", "host_chip_mesh"]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (SPMD across hosts of a TPU slice/pod).
+
+    No-op when already initialized or when running single-process. On TPU
+    pods the arguments are auto-detected from the environment; on other
+    platforms pass them explicitly (SURVEY.md §5 last row: the comm layer
+    the reference never had).
+    """
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def host_chip_mesh() -> Mesh:
+    """("host", "chip") mesh: dp over hosts (DCN), inner axis over local chips
+    (ICI) — layer shardings so per-layer collectives ride the inner axis."""
+    n_local = jax.local_device_count()
+    n_total = jax.device_count()
+    arr = np.asarray(jax.devices()).reshape(n_total // n_local, n_local)
+    return Mesh(arr, ("host", "chip"))
 
 
 def create_mesh(

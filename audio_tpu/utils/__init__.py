@@ -1,3 +1,16 @@
+from .checkpoint import CheckpointManager, latest_step, restore_checkpoint, save_checkpoint
 from .download import _download_asset, download_asset
+from .profiling import annotate, benchmark, compiled_cost, trace
 
-__all__ = ["download_asset", "_download_asset"]
+__all__ = [
+    "CheckpointManager",
+    "annotate",
+    "benchmark",
+    "compiled_cost",
+    "download_asset",
+    "latest_step",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "trace",
+    "_download_asset",
+]

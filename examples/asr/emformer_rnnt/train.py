@@ -144,6 +144,9 @@ def main():
     p.add_argument("--librispeech-url", default="train-clean-100")
     p.add_argument("--num-symbols", type=int, default=29)
     p.add_argument("--checkpoint", default=None, help="path to save final params (npz)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax checkpoint dir; auto-resumes from the latest step")
+    p.add_argument("--checkpoint-every", type=int, default=50)
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -187,6 +190,16 @@ def main():
     print(f"params: {n_params/1e6:.2f}M")
 
     opt_state = tx.init(params)
+    start_step = 0
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        from audio_tpu.utils import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=3)
+        restored = ckpt_mgr.restore(like={"params": params, "opt_state": opt_state, "step": 0})
+        if restored is not None:
+            params, opt_state, start_step = restored["params"], restored["opt_state"], restored["step"] + 1
+            print(f"resumed from step {restored['step']}")
     rep = replicate(mesh)
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
@@ -213,7 +226,7 @@ def main():
     key = jax.random.PRNGKey(1)
     it = iter(data)
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         wav, wav_lens, tgt, tgt_lens = next(it)
         feats, feat_lens = featurize(jnp.asarray(wav), jnp.asarray(wav_lens))
         feats = jax.device_put(feats, batch_sharding(mesh, 3))
@@ -226,7 +239,11 @@ def main():
         )
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
+        if ckpt_mgr is not None and (step % args.checkpoint_every == 0 or step == args.steps - 1):
+            ckpt_mgr.save(step, {"params": params, "opt_state": opt_state, "step": step})
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     if args.checkpoint:
         flat = {"/".join(map(str, k)): np.asarray(v)
                 for k, v in jax.tree_util.tree_leaves_with_path(params)}

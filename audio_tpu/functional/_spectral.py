@@ -43,6 +43,59 @@ def _get_spec_norms(normalized: Union[str, bool]):
     return frame_length_norm, window_norm
 
 
+def _use_conv_dft() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    except Exception:
+        return False
+
+
+def _power_spec_conv(
+    waveform: jnp.ndarray,
+    window: Optional[jnp.ndarray],
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool,
+    pad_mode: str,
+    power: float,
+    frame_length_norm: bool,
+) -> jnp.ndarray:
+    """Magnitude/power spectrogram as one strided conv (matmul-DFT).
+
+    On TPU the frame gather materializes n_fft/hop x the input in HBM; the
+    windowed DFT as a stride-``hop`` convolution is an implicit-GEMM on the
+    MXU with no frame materialization.  Used only for real power/magnitude
+    outputs; the complex path keeps the rfft formulation.
+    """
+    from ._stft import _pad_center, _prepare_window
+
+    window = _prepare_window(window, n_fft, win_length, waveform.dtype)
+    if center:
+        waveform = _pad_center(waveform, n_fft // 2, pad_mode)
+    lead = waveform.shape[:-1]
+    x = waveform.reshape(-1, 1, waveform.shape[-1])
+    n_freq = n_fft // 2 + 1
+    n = jnp.arange(n_fft, dtype=jnp.float32)
+    f = jnp.arange(n_freq, dtype=jnp.float32)
+    ang = (2.0 * math.pi / n_fft) * f[:, None] * n[None, :]
+    w32 = window.astype(jnp.float32)
+    kernel = jnp.concatenate([jnp.cos(ang) * w32, -jnp.sin(ang) * w32], axis=0)[:, None, :]
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), kernel, (hop_length,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=jax.lax.Precision.HIGHEST,
+    )
+    re, im = y[:, :n_freq], y[:, n_freq:]
+    p = re * re + im * im
+    if frame_length_norm:
+        p = p / n_fft
+    if power == 1.0:
+        p = jnp.sqrt(p)
+    elif power != 2.0:
+        p = jnp.sqrt(p) ** power
+    return p.reshape(lead + p.shape[1:]).astype(waveform.dtype)
+
+
 def spectrogram(
     waveform: jnp.ndarray,
     pad: int = 0,
@@ -62,6 +115,15 @@ def spectrogram(
     if pad > 0:
         waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(pad, pad)])
     frame_length_norm, window_norm = _get_spec_norms(normalized)
+    if power is not None and onesided and _use_conv_dft():
+        spec = _power_spec_conv(
+            waveform, window, n_fft, hop_length, win_length, center, pad_mode,
+            power, frame_length_norm,
+        )
+        if window_norm:
+            w = window if window is not None else jnp.ones((win_length,), waveform.dtype)
+            spec = spec / jnp.sum(w * w) ** (power / 2.0)
+        return spec
     spec_f = _stft(
         waveform,
         n_fft=n_fft,

@@ -42,19 +42,25 @@ _SCAN_CUTOFF = 256
 
 
 def allpole_impulse_response(a_tail: jnp.ndarray, length: int) -> jnp.ndarray:
-    """Impulse response h (C, length) of 1 / (1 + sum a_k z^-k); h[0] = 1."""
+    """Impulse response h (C, length) of 1 / (1 + sum a_k z^-k); h[0] = 1.
+
+    Computed in log depth via an associative scan over companion-matrix
+    products (h[t] = (M^t)[0, 0]) — a sequential length-T scan of tiny steps
+    costs ~T dispatches on TPU, which would dwarf the filter itself.
+    """
     c, order = a_tail.shape
-    h0 = jnp.zeros((c, order), a_tail.dtype).at[:, 0].set(1.0)
-
-    def step(state, _):
-        # state holds [h[t-1], ..., h[t-order]]
-        h_t = -jnp.sum(a_tail * state, axis=-1)
-        new_state = jnp.concatenate([h_t[:, None], state[:, :-1]], axis=-1)
-        return new_state, h_t
-
-    _, rest = jax.lax.scan(step, h0, None, length=length - 1)
-    h = jnp.concatenate([jnp.ones((1, c), a_tail.dtype), rest], axis=0)  # (length, C)
-    return h.T
+    # companion matrix M: row 0 = -a, subdiagonal = identity
+    m = jnp.zeros((c, order, order), a_tail.dtype)
+    m = m.at[:, 0, :].set(-a_tail)
+    if order > 1:
+        m = m.at[:, jnp.arange(1, order), jnp.arange(order - 1)].set(1.0)
+    # inclusive scan of M, M^2, ..., M^(length-1) per channel
+    ms = jnp.broadcast_to(m[:, None], (c, length - 1, order, order))
+    powers = jax.lax.associative_scan(
+        lambda x, y: jnp.einsum("...ij,...jk->...ik", y, x, precision="highest"), ms, axis=1
+    )  # powers[:, t] = M^(t+1)  (full fp32: bf16 products corrupt the tail)
+    h = powers[:, :, 0, 0]  # (C, length-1): h[t] = (M^t)[0, 0]
+    return jnp.concatenate([jnp.ones((c, 1), a_tail.dtype), h], axis=1)
 
 
 def iir_scan(x: jnp.ndarray, a_tail: jnp.ndarray, zi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -117,10 +123,12 @@ def iir_blocked(
 
     def step(state, x_blk):
         # Fold incoming state into the first `order` inputs of the block.
-        corr = jnp.einsum("ctj,bcj->bct", fold, state)
+        corr = jnp.einsum("ctj,bcj->bct", fold, state, precision="highest")
         v = x_blk.at[..., :order].add(-corr)
         # Whole block in one MXU contraction with the Toeplitz operator.
-        y_blk = jnp.einsum("cij,bcj->bci", toe, v, preferred_element_type=x_blk.dtype)
+        y_blk = jnp.einsum(
+            "cij,bcj->bci", toe, v, preferred_element_type=x_blk.dtype, precision="highest"
+        )
         new_state = jnp.flip(y_blk[..., s - order :], -1)
         return new_state, y_blk
 
@@ -129,12 +137,23 @@ def iir_blocked(
     return y[..., :t]
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    except Exception:
+        return False
+
+
 def _iir_fwd_impl(x: jnp.ndarray, a_norm: jnp.ndarray, block_size: int) -> jnp.ndarray:
     a_tail = a_norm[:, 1:]
     if a_tail.shape[-1] == 0:
         return x
     if x.shape[-1] <= _SCAN_CUTOFF:
         return iir_scan(x, a_tail)
+    if x.ndim == 3 and x.dtype == jnp.float32 and _use_pallas():
+        from .pallas_iir import iir_pallas
+
+        return iir_pallas(x, a_tail)
     return iir_blocked(x, a_tail, block_size=block_size)
 
 

@@ -1,0 +1,109 @@
+"""Pallas TPU kernel for the all-pole IIR recurrence.
+
+The speed-of-light version of :func:`audio_tpu.ops.iir.iir_blocked` — the
+direct analogue of the reference's native lfilter core loop
+(/root/reference/src/libtorchaudio/lfilter.cpp:32-47; iir_cuda.cu:10-35),
+mapped to TPU: the (batch x channel) lanes tile the sublane axis, time runs
+in 128-sample blocks along the sequential grid axis, and the block-to-block
+carry state lives in a VMEM scratch that persists across grid steps — no HBM
+round-trip for the recurrence state, and the block solve is two MXU matmuls:
+
+    y_blk = x_blk @ A - y_prev_blk @ B
+
+with A = toeplitz(h).T (the within-block impulse-response solve) and
+B = (toeplitz(h) @ W).T folding the previous block's tail through the
+recurrence (W[t, p] = a_{t + S - p} for the `order` taps, else 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .iir import allpole_impulse_response
+
+__all__ = ["iir_pallas"]
+
+_S = 128       # time block (MXU tile)
+_N_BLK = 128   # lanes per grid step
+
+
+def _iir_kernel(x_ref, a_ref, b_ref, y_ref, state_ref):
+    tb = pl.program_id(2)
+
+    @pl.when(tb == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    dn = (((1,), (0,)), ((), ()))
+    y = jax.lax.dot_general(
+        x_ref[0], a_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) - jax.lax.dot_general(
+        state_ref[:], b_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    y_ref[0] = y
+    state_ref[:] = y
+
+
+def _block_operators(a_tail: jnp.ndarray, s: int):
+    """Per-channel (A, B) block operators, each (C, S, S)."""
+    c, order = a_tail.shape
+    h = allpole_impulse_response(a_tail, s)  # (C, S)
+    i_idx = jnp.arange(s)[:, None]
+    j_idx = jnp.arange(s)[None, :]
+    d = i_idx - j_idx
+    toe = jnp.where(d >= 0, h[:, jnp.clip(d, 0, s - 1)], 0.0)  # (C, S, S)
+    # W[c, t, p] = a_{t + s - p} (1-indexed tap), nonzero only near the corner
+    k = i_idx + (s - j_idx)  # t + (S - p): tap index, valid if 1 <= k <= order
+    valid = (k >= 1) & (k <= order)
+    w = jnp.where(valid, a_tail[:, jnp.clip(k - 1, 0, order - 1)], 0.0)  # (C, S, S)
+    a_op = jnp.swapaxes(toe, -1, -2)  # A = toe.T
+    b_op = jnp.swapaxes(jnp.einsum("cij,cjk->cik", toe, w, precision="highest"), -1, -2)
+    return a_op, b_op
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _iir_pallas_cbt(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """x: (C, B, T) float32, a_tail: (C, order) -> y: (C, B, T)."""
+    c, b, t = x.shape
+    s = _S
+    nb = -(-b // _N_BLK)
+    tb = -(-t // s)
+    xp = jnp.pad(x, ((0, 0), (0, nb * _N_BLK - b), (0, tb * s - t)))
+    a_op, b_op = _block_operators(a_tail.astype(jnp.float32), s)
+
+    y = pl.pallas_call(
+        _iir_kernel,
+        grid=(c, nb, tb),
+        in_specs=[
+            pl.BlockSpec((1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_N_BLK, s), jnp.float32)],
+        interpret=interpret,
+    )(xp, a_op, b_op)
+    return y[:, :b, :t]
+
+
+def iir_pallas(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """All-pole IIR via the Pallas TPU kernel.
+
+    Same contract as :func:`audio_tpu.ops.iir.iir_blocked` with ``zi=None``:
+    ``x`` is (B, C, T), ``a_tail`` is (C, order) holding [a1..aN], returns
+    y with y[t] = x[t] - sum_k a_k y[t-k].  float32 only.
+    """
+    xc = jnp.swapaxes(x, 0, 1).astype(jnp.float32)  # (C, B, T)
+    y = _iir_pallas_cbt(xc, a_tail, interpret=interpret)
+    return jnp.swapaxes(y, 0, 1).astype(x.dtype)

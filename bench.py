@@ -56,12 +56,30 @@ def main():
     paths, scores = jax.block_until_ready(chain(wav, targets))
     assert bool(jnp.isfinite(scores).all())
 
+    # Steady-state throughput: run K batches back-to-back inside ONE compiled
+    # program (each iteration's input depends on the previous scores, so XLA
+    # cannot elide or overlap the work), then divide.  A single dispatch has a
+    # fixed host<->device sync floor (~25 ms over the axon tunnel) that would
+    # otherwise swamp the per-batch time.
+    K = 16
+
+    @jax.jit
+    def chain_k(wav, targets):
+        def body(_, carry):
+            wav_i, acc = carry
+            paths, scores = chain(wav_i, targets)
+            bump = (jnp.mean(scores) * 1e-12).astype(wav_i.dtype)
+            return (wav_i + bump, acc + jnp.sum(paths[:, 0]))
+        _, acc = jax.lax.fori_loop(0, K, body, (wav, jnp.int32(0)))
+        return acc
+
+    jax.block_until_ready(chain_k(wav, targets))
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(wav, targets))
+        jax.block_until_ready(chain_k(wav, targets))
         times.append(time.perf_counter() - t0)
-    w = float(np.median(times))
+    w = float(np.median(times)) / K
 
     streams_at_rtf01 = 0.1 * B * D / w
     result = {

@@ -178,3 +178,24 @@ class TestSpectralCentroid:
         window = jnp.asarray(torch.hann_window(400).numpy())
         sc = np.asarray(F.spectral_centroid(jnp.asarray(x), 16000, 0, window, 400, 160, 400))
         assert np.abs(np.median(sc) - 1000) < 50
+
+
+def test_power_spec_conv_matches_rfft_path():
+    """The TPU conv-DFT spectrogram must agree with the rfft formulation."""
+    import numpy as np
+    import jax.numpy as jnp
+    import audio_tpu.functional as F
+    from audio_tpu.functional import _spectral
+    from audio_tpu._internal.windows import hann_window
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 3200)).astype(np.float32))
+    w = hann_window(400)
+    for power, fl_norm in [(2.0, False), (1.0, False), (2.0, True)]:
+        ref = F.spectrogram(x, window=w, n_fft=400, hop_length=160, win_length=400,
+                            power=power, normalized="frame_length" if fl_norm else False)
+        got = _spectral._power_spec_conv(x, w, 400, 160, 400, True, "reflect", power, fl_norm)
+        # fp32 cancellation differs between the two formulations on near-zero
+        # bins; bound the error relative to the spectrum scale
+        ref_np, got_np = np.asarray(ref), np.asarray(got)
+        assert np.abs(got_np - ref_np).max() <= 5e-5 * ref_np.max() + 1e-3

@@ -29,6 +29,13 @@ __all__ = ["viterbi_align"]
 _NEG_INF = -1e30  # avoid actual inf so (-inf) - (-inf) never appears
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    except Exception:
+        return False
+
+
 def _state_labels(targets: jnp.ndarray, blank: int, s: int) -> jnp.ndarray:
     """labels (B, S): blank at even states, targets[i//2] at odd states."""
     i = jnp.arange(s)
@@ -79,6 +86,29 @@ def viterbi_align(
     odd = state_idx % 2 == 1
     can_skip = odd[None, :] & (state_idx[None, :] >= 3) & ~same_as_prev[:, jnp.clip(state_idx // 2, 0, l_max - 1)]
     can_skip = can_skip & state_valid
+
+    # Pallas fast path: whole DP + backtrack in one kernel, VMEM-resident
+    # (ops/pallas_viterbi.py).  Falls back to the lax.scan formulation on CPU.
+    if _use_pallas():
+        from .pallas_viterbi import viterbi_pallas_core
+
+        # per-state emission scores via one-hot matmul — TPU gathers are
+        # address-bound while this is trivial MXU work
+        v = log_probs.shape[-1]
+        onehot_labels = jax.nn.one_hot(labels, v, dtype=log_probs.dtype)  # (B, S, V)
+        emits_all = jnp.einsum(
+            "btv,bsv->bts", log_probs, onehot_labels, precision="highest"
+        )
+        s_last = 2 * target_lengths
+        paths = viterbi_pallas_core(
+            emits_all, can_skip, state_valid, input_lengths, labels, s_last, blank=blank
+        )
+        scores = jnp.einsum(
+            "btv,btv->bt", log_probs, jax.nn.one_hot(paths, v, dtype=log_probs.dtype),
+            precision="highest",
+        )
+        scores = jnp.where(jnp.arange(t_max)[None, :] < input_lengths[:, None], scores, 0.0)
+        return paths, scores
 
     emit0 = jnp.take_along_axis(log_probs[:, 0, :], labels, axis=1)  # (B, S)
     alpha0 = jnp.where(state_idx[None, :] < 2, emit0, _NEG_INF)

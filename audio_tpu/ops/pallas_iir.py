@@ -33,23 +33,31 @@ _S = 128       # time block (MXU tile)
 _N_BLK = 128   # lanes per grid step
 
 
-def _iir_kernel(x_ref, a_ref, b_ref, y_ref, state_ref):
-    tb = pl.program_id(2)
+def _make_iir_kernel(t_total: int):
+    def kernel(x_ref, a_ref, b_ref, y_ref, state_ref):
+        tb = pl.program_id(2)
 
-    @pl.when(tb == 0)
-    def _():
-        state_ref[:] = jnp.zeros_like(state_ref)
+        @pl.when(tb == 0)
+        def _():
+            state_ref[:] = jnp.zeros_like(state_ref)
 
-    dn = (((1,), (0,)), ((), ()))
-    y = jax.lax.dot_general(
-        x_ref[0], a_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ) - jax.lax.dot_general(
-        state_ref[:], b_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    y_ref[0] = y
-    state_ref[:] = y
+        # zero any ragged tail of the last block so OOB garbage cannot leak
+        # (pallas pads the final block when t is not a multiple of _S)
+        x = x_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + tb * _S
+        x = jnp.where(col < t_total, x, 0.0)
+        dn = (((1,), (0,)), ((), ()))
+        y = jax.lax.dot_general(
+            x, a_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) - jax.lax.dot_general(
+            state_ref[:], b_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        y_ref[0] = y
+        state_ref[:] = y
+
+    return kernel
 
 
 def _block_operators(a_tail: jnp.ndarray, s: int):
@@ -76,11 +84,10 @@ def _iir_pallas_cbt(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False
     s = _S
     nb = -(-b // _N_BLK)
     tb = -(-t // s)
-    xp = jnp.pad(x, ((0, 0), (0, nb * _N_BLK - b), (0, tb * s - t)))
     a_op, b_op = _block_operators(a_tail.astype(jnp.float32), s)
 
     y = pl.pallas_call(
-        _iir_kernel,
+        _make_iir_kernel(t),
         grid=(c, nb, tb),
         in_specs=[
             pl.BlockSpec((1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM),
@@ -90,11 +97,11 @@ def _iir_pallas_cbt(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False
         out_specs=pl.BlockSpec(
             (1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, b, t), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_N_BLK, s), jnp.float32)],
         interpret=interpret,
-    )(xp, a_op, b_op)
-    return y[:, :b, :t]
+    )(x, a_op, b_op)
+    return y
 
 
 def iir_pallas(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:

@@ -43,13 +43,16 @@ def _make_kernel(t_max: int, blank: int):
         valid = validm_ref[:]  # bool as int32 (1 valid)
         lengths = len_ref[:]   # (BB, 1) int32
 
+        def emit_at(t):
+            return emits_ref[:, pl.ds(t, 1), :].reshape(bb, s)
+
         front0 = jnp.where(
-            (col < 2) & (valid > 0), emits_ref[0], jnp.float32(_NEG_INF)
+            (col < 2) & (valid > 0), emit_at(0), jnp.float32(_NEG_INF)
         )
         bp_ref[0] = jnp.zeros((bb, s), jnp.int8)
 
         def fwd(t, front):
-            emit = emits_ref[t]
+            emit = emit_at(t)
             x0 = front
             x1 = _shift_right(front, 1, jnp.float32(_NEG_INF))
             x2 = _shift_right(front, 2, jnp.float32(_NEG_INF))
@@ -119,9 +122,8 @@ def viterbi_pallas_core(
         return jnp.pad(x, ((0, b_pad - b),) + ((0, 0),) * (x.ndim - 1), constant_values=fill)
 
     emits_p = jnp.pad(
-        jnp.moveaxis(padb(emits, 0.0), 1, 0), ((0, 0), (0, 0), (0, s_pad - s)),
-        constant_values=_NEG_INF,
-    )  # (T, Bp, Sp)
+        padb(emits, 0.0), ((0, 0), (0, 0), (0, s_pad - s)), constant_values=_NEG_INF
+    )  # (Bp, T, Sp) — kept batch-major; the kernel slices frames from VMEM
     skip_p = jnp.pad(padb(can_skip).astype(jnp.int32), ((0, 0), (0, s_pad - s)))
     valid_p = jnp.pad(padb(state_valid).astype(jnp.int32), ((0, 0), (0, s_pad - s)))
     labels_p = jnp.pad(padb(labels).astype(jnp.int32), ((0, 0), (0, s_pad - s)))
@@ -134,7 +136,7 @@ def viterbi_pallas_core(
         _make_kernel(t_max, blank),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t_max, _BB, s_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, t_max, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_BB, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_BB, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),

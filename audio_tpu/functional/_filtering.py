@@ -113,8 +113,21 @@ def lfilter(
     x = waveform.reshape((-1, a_coeffs.shape[0], shape[-1]))
 
     a0 = a_coeffs[:, 0:1]
-    fir_out = _fir_causal(x, b_coeffs / a0)
-    output = iir_apply(fir_out, a_coeffs / a0)
+    a_norm = a_coeffs / a0
+    b_norm = b_coeffs / a0
+    from ..ops.iir import _use_pallas, lfilter_fused
+
+    if (
+        x.ndim == 3
+        and x.dtype == jnp.float32
+        and x.shape[-1] > 256
+        and a_norm.shape[-1] > 1
+        and _use_pallas()
+    ):
+        # TPU: numerator + recurrence fused into one pallas kernel pass
+        output = lfilter_fused(x, a_norm, b_norm)
+    else:
+        output = iir_apply(_fir_causal(x, b_norm), a_norm)
 
     if clamp:
         output = jnp.clip(output, -1.0, 1.0)

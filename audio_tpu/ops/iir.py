@@ -189,3 +189,54 @@ def _iir_apply_bwd(block_size, res, dy):
 
 
 iir_apply.defvjp(_iir_apply_fwd, _iir_apply_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused lfilter (FIR + IIR in one pallas pass) with analytic VJP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lfilter_fused(x: jnp.ndarray, a_norm: jnp.ndarray, b_norm: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """y = IIR_a(FIR_b(x)) in one pallas kernel (TPU path of lfilter).
+
+    x (B, C, T) float32; a_norm/b_norm (C, order+1), a_norm[:, 0] == 1.
+    Backward follows the reference's DifferentiableFIR/IIR math
+    (filtering.py:941-1024) applied to the composition.
+    """
+    from .pallas_iir import lfilter_pallas
+
+    return lfilter_pallas(x, a_norm, b_norm, interpret=interpret)
+
+
+def _lfilter_fused_fwd(x, a_norm, b_norm, interpret):
+    y = lfilter_fused(x, a_norm, b_norm, interpret)
+    return y, (x, y, a_norm, b_norm)
+
+
+def _lfilter_fused_bwd(interpret, res, dy):
+    x, y, a_norm, b_norm = res
+    t_len = x.shape[-1]
+    p1 = b_norm.shape[-1]
+    # dv = IIR_a^T dy (cotangent at the FIR output)
+    dv = jnp.flip(_iir_fwd_impl(jnp.flip(dy, -1), a_norm, _DEFAULT_BLOCK), -1)
+    # dx[t] = sum_k b[k] dv[t+k]  (FIR transpose = anticausal correlation)
+    dx = jnp.zeros_like(x)
+    for k in range(p1):
+        seg = dv[..., k:]
+        dx = dx.at[..., : t_len - k].add(b_norm[:, k][None, :, None] * seg)
+    # db[k] = sum_{b,t} dv[t] x[t-k]
+    db = jnp.stack(
+        [jnp.sum(dv[..., k:] * x[..., : t_len - k], axis=(0, 2)) for k in range(p1)],
+        axis=1,
+    )
+    # da per the all-pole backward (windows of y against dv)
+    y_pad = jnp.pad(y, ((0, 0), (0, 0), (a_norm.shape[-1] - 1, 0)))
+    idx = jnp.arange(t_len)[:, None] + jnp.arange(a_norm.shape[-1])[None, :]
+    windows = y_pad[..., idx]
+    da = jnp.flip(-jnp.einsum("bct,bctj->cj", dv, windows), -1)
+    return dx, da, db
+
+
+lfilter_fused.defvjp(_lfilter_fused_fwd, _lfilter_fused_bwd)

@@ -114,3 +114,109 @@ def iir_pallas(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False) -> 
     xc = jnp.swapaxes(x, 0, 1).astype(jnp.float32)  # (C, B, T)
     y = _iir_pallas_cbt(xc, a_tail, interpret=interpret)
     return jnp.swapaxes(y, 0, 1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused lfilter: FIR numerator + all-pole recurrence in one kernel pass
+# ---------------------------------------------------------------------------
+
+
+def _lfilter_kernel_factory(t_total: int):
+    def kernel(x_ref, a_ref, b_ref, c_ref, y_ref, ystate_ref, xstate_ref):
+        tb = pl.program_id(2)
+
+        @pl.when(tb == 0)
+        def _():
+            ystate_ref[:] = jnp.zeros_like(ystate_ref)
+            xstate_ref[:] = jnp.zeros_like(xstate_ref)
+
+        x = x_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + tb * _S
+        x = jnp.where(col < t_total, x, 0.0)
+        dn = (((1,), (0,)), ((), ()))
+        hp = jax.lax.Precision.HIGHEST
+        y = jax.lax.dot_general(x, a_ref[0], dn, precision=hp, preferred_element_type=jnp.float32)
+        y = y - jax.lax.dot_general(
+            ystate_ref[:], b_ref[0], dn, precision=hp, preferred_element_type=jnp.float32
+        )
+        y = y + jax.lax.dot_general(
+            xstate_ref[:], c_ref[0], dn, precision=hp, preferred_element_type=jnp.float32
+        )
+        y_ref[0] = y
+        ystate_ref[:] = y
+        xstate_ref[:] = x
+
+    return kernel
+
+
+def _lfilter_block_operators(a_tail: jnp.ndarray, b_norm: jnp.ndarray, s: int):
+    """(A', B', C') for y = x@A' - y_prev@B' + x_prev@C' per channel.
+
+    A' = toe(b * h_a).T (combined impulse response), B' folds the previous
+    block's outputs through the recurrence, C' the previous block's inputs
+    through the numerator taps that cross the block boundary.
+    """
+    c, order = a_tail.shape
+    p1 = b_norm.shape[1]  # order_b + 1
+    h = allpole_impulse_response(a_tail, s)  # (C, S)
+    i_idx = jnp.arange(s)[:, None]
+    j_idx = jnp.arange(s)[None, :]
+    d = i_idx - j_idx
+    toe_h = jnp.where(d >= 0, h[:, jnp.clip(d, 0, s - 1)], 0.0)  # (C, S, S)
+    # combined IR g[t] = sum_k b[k] h[t-k]
+    k_idx = jnp.arange(p1)
+    tk = jnp.arange(s)[:, None] - k_idx[None, :]  # (S, P+1)
+    hg = jnp.where(tk >= 0, h[:, jnp.clip(tk, 0, s - 1)], 0.0)  # (C, S, P+1)
+    g = jnp.einsum("csk,ck->cs", hg, b_norm, precision="highest")
+    toe_g = jnp.where(d >= 0, g[:, jnp.clip(d, 0, s - 1)], 0.0)
+    # recurrence fold (same as the all-pole kernel)
+    ka = i_idx + (s - j_idx)
+    wa = jnp.where((ka >= 1) & (ka <= order), a_tail[:, jnp.clip(ka - 1, 0, order - 1)], 0.0)
+    # numerator cross taps: W_b[t, p] = b[t + s - p] for 1 <= t+s-p <= order_b
+    kb = i_idx + (s - j_idx)
+    wb = jnp.where((kb >= 1) & (kb <= p1 - 1), b_norm[:, jnp.clip(kb, 0, p1 - 1)], 0.0)
+    a_op = jnp.swapaxes(toe_g, -1, -2)
+    b_op = jnp.swapaxes(jnp.einsum("cij,cjk->cik", toe_h, wa, precision="highest"), -1, -2)
+    c_op = jnp.swapaxes(jnp.einsum("cij,cjk->cik", toe_h, wb, precision="highest"), -1, -2)
+    return a_op, b_op, c_op
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lfilter_pallas_cbt(x, a_tail, b_norm, interpret=False):
+    c, b, t = x.shape
+    s = _S
+    nb = -(-b // _N_BLK)
+    tbk = -(-t // s)
+    a_op, b_op, c_op = _lfilter_block_operators(
+        a_tail.astype(jnp.float32), b_norm.astype(jnp.float32), s
+    )
+    return pl.pallas_call(
+        _lfilter_kernel_factory(t),
+        grid=(c, nb, tbk),
+        in_specs=[
+            pl.BlockSpec((1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, b, t), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_N_BLK, s), jnp.float32),
+            pltpu.VMEM((_N_BLK, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, a_op, b_op, c_op)
+
+
+def lfilter_pallas(x: jnp.ndarray, a_norm: jnp.ndarray, b_norm: jnp.ndarray,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused difference-equation filter: y = IIR_a(FIR_b(x)) in one kernel.
+
+    x (B, C, T); a_norm/b_norm (C, order+1) with a_norm[:, 0] == 1.
+    """
+    xc = jnp.swapaxes(x, 0, 1).astype(jnp.float32)
+    y = _lfilter_pallas_cbt(xc, a_norm[:, 1:], b_norm, interpret=interpret)
+    return jnp.swapaxes(y, 0, 1).astype(x.dtype)

@@ -29,3 +29,23 @@ def test_matches_blocked_long():
     ref = np.asarray(iir_blocked(jnp.asarray(x), jnp.asarray(a)))
     got = np.asarray(iir_pallas(jnp.asarray(x), jnp.asarray(a), interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_lfilter_fused_matches_composed():
+    from audio_tpu.ops.iir import iir_apply, lfilter_fused
+    from audio_tpu.functional._filtering import _fir_causal
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 2, 700)).astype(np.float32) * 0.1)
+    a = jnp.asarray(np.array([[1.0, -0.5, 0.2], [1.0, 0.3, -0.1]], np.float32))
+    b = jnp.asarray(np.array([[0.3, 0.2, 0.1], [0.5, -0.2, 0.0]], np.float32))
+    ref = iir_apply(_fir_causal(x, b), a)
+    got = lfilter_fused(x, a, b, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    # gradient parity through the custom VJP
+    f_ref = lambda x, a, b: jnp.sum(jnp.sin(iir_apply(_fir_causal(x, b), a)))
+    f_fus = lambda x, a, b: jnp.sum(jnp.sin(lfilter_fused(x, a, b, True)))
+    for gr, gf in zip(jax.grad(f_ref, (0, 1, 2))(x, a, b), jax.grad(f_fus, (0, 1, 2))(x, a, b)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-5, rtol=1e-4)

@@ -25,7 +25,7 @@ def main():
     import audio_tpu.functional as F
     from audio_tpu._internal.windows import hann_window
 
-    B = 1024  # concurrent streams
+    B = 4096  # concurrent streams
     SR = 16000
     D = 1.0  # seconds per chunk
     T = int(SR * D)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,10 +87,26 @@ def apply_sinc_resample_kernel(
     x = waveform.reshape(-1, length)
     x = jnp.pad(x, [(0, 0), (width, width + orig_freq)])
     k = kernel.shape[-1]
-    frames = frame_signal(x, k, orig_freq)  # (B, n_frames, K)
-    # (B, n_frames, K) @ (K, new_freq) -> (B, n_frames, new_freq): one MXU matmul.
-    resampled = jnp.einsum("bnk,fk->bnf", frames, kernel, preferred_element_type=waveform.dtype)
-    resampled = resampled.reshape(x.shape[0], -1)
+    try:
+        tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    except Exception:
+        tpu = False
+    if tpu:
+        # strided conv (implicit GEMM): avoids materializing the K/orig_freq-x
+        # frame blowup in HBM that the gather formulation pays
+        y = jax.lax.conv_general_dilated(
+            x[:, None, :], kernel[:, None, :], (orig_freq,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, new_freq, n_frames)
+        resampled = jnp.swapaxes(y, 1, 2).reshape(x.shape[0], -1)
+    else:
+        frames = frame_signal(x, k, orig_freq)  # (B, n_frames, K)
+        # (B, n_frames, K) @ (K, new_freq): one MXU matmul.
+        resampled = jnp.einsum(
+            "bnk,fk->bnf", frames, kernel, preferred_element_type=waveform.dtype
+        )
+        resampled = resampled.reshape(x.shape[0], -1)
     target_length = int(math.ceil(new_freq * length / orig_freq))
     resampled = resampled[..., :target_length]
     return resampled.reshape(shape[:-1] + (target_length,))

@@ -10,6 +10,7 @@ from .emformer import Emformer
 from .hdemucs import HDemucs, hdemucs_high, hdemucs_low, hdemucs_medium
 from .rnnt import RNNT, emformer_rnnt_base, emformer_rnnt_model
 from .rnnt_decoder import Hypothesis, RNNTBeamSearch
+from .tacotron2 import Tacotron2
 from .squim import (
     SquimObjective,
     SquimSubjective,
@@ -52,6 +53,7 @@ __all__ = [
     "RNNTBeamSearch",
     "SquimObjective",
     "SquimSubjective",
+    "Tacotron2",
     "Wav2Letter",
     "Wav2Vec2Model",
     "WaveRNN",

@@ -60,7 +60,7 @@ class _BiLSTM(nn.Module):
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
-        h0 = jnp.zeros((b, self.hidden), x.dtype)
+        h0 = jnp.zeros((b, self.hidden), pre.dtype)
         _, ys = jax.lax.scan(step, (h0, h0), jnp.moveaxis(pre, 1, 0))
         ys = jnp.moveaxis(ys, 0, 1)
         return jnp.flip(ys, 1) if reverse else ys
@@ -237,6 +237,10 @@ class Tacotron2(nn.Module):
         dec_in, dropout_rng = self._prenet(dec_in, dropout_rng, prenet_dropout)
 
         state = self._init_decoder_state(memory)
+        if self.is_initializing():
+            # create the decoder-step params eagerly: inside the scan body
+            # they would be traced values and leak out of init
+            self._decode_step(state, dec_in[:, 0], memory, processed_memory, mask)
 
         def step(state, x_t):
             state, mel, gate = self._decode_step(state, x_t, memory, processed_memory, mask)
@@ -282,6 +286,9 @@ class Tacotron2(nn.Module):
         finished0 = jnp.zeros((b,), bool)
         out_len0 = jnp.zeros((b,), jnp.int32)
         keys = jax.random.split(dropout_rng, steps)
+        if self.is_initializing():
+            x0, _ = self._prenet(mel0, keys[0], prenet_dropout)
+            self._decode_step(state, x0, memory, processed_memory, mask)
 
         def step(carry, key_t):
             state, mel_prev, finished, out_len = carry

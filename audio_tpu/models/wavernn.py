@@ -33,9 +33,10 @@ class _GRUCellParams(nn.Module):
         w_hh = self.param("w_hh", nn.initializers.orthogonal(), (self.hidden, 3 * self.hidden))
         b_ih = self.param("b_ih", nn.initializers.zeros, (3 * self.hidden,))
         b_hh = self.param("b_hh", nn.initializers.zeros, (3 * self.hidden,))
-        if h0 is None:
-            h0 = jnp.zeros((b, self.hidden), x.dtype)
         pre = x @ w_ih + b_ih  # (B, T, 3H) hoisted
+        if h0 is None:
+            # match the promoted compute dtype (params may be f64 under x64)
+            h0 = jnp.zeros((b, self.hidden), pre.dtype)
 
         def step(h, pre_t):
             gh = h @ w_hh + b_hh
@@ -125,7 +126,8 @@ class UpsampleNetwork(nn.Module):
             # Conv2d(1,1,(1, 2s+1), padding=(0,s), avg-init) over the time axis
             k = self.param(f"up_conv_{i}", nn.initializers.constant(1.0 / (scale * 2 + 1)), (1, 1, 1, scale * 2 + 1))
             x = jax.lax.conv_general_dilated(
-                x, k, (1, 1), [(0, 0), (scale, scale)], dimension_numbers=("NCHW", "OIHW", "NCHW")
+                x, k.astype(x.dtype), (1, 1), [(0, 0), (scale, scale)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
             )
         x = x[:, 0, :, indent:-indent]
         return x, aux

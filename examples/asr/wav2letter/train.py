@@ -1,0 +1,183 @@
+"""Wav2Letter CTC training recipe (TPU-native).
+
+Counterpart of the reference recipe at /root/reference/examples/pipeline_wav2letter/
+(Wav2Letter on MFCC/waveform features, CTC loss, char targets, greedy decode
+for CER/WER monitoring; metrics emitted as JSON lines to stdout as in its
+README). Here the step (MFCC -> Wav2Letter convs -> ctc_loss -> adadelta) is
+one jit'd program over the "dp" mesh axis.
+
+Quick synthetic smoke on a CPU mesh:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python train.py --synthetic --tiny --steps 2
+
+Real data: point --librispeech-path at an extracted LibriSpeech root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import audio_tpu.functional as F
+from audio_tpu.models import Wav2Letter
+from audio_tpu.ops.ctc import ctc_greedy_decode, ctc_loss
+from audio_tpu.parallel import batch_sharding, create_mesh, replicate
+from audio_tpu.transforms import MFCC
+
+SAMPLE_RATE = 16000
+LABELS = "_ abcdefghijklmnopqrstuvwxyz'"  # 0 = blank, as in the reference recipe
+N_MFCC = 13
+HOP = 160
+
+
+class SyntheticBatches:
+    def __init__(self, batch_size, num_classes, audio_seconds=1.0, seed=0):
+        self.batch_size, self.num_classes = batch_size, num_classes
+        self.audio_len = int(audio_seconds * SAMPLE_RATE)
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        while True:
+            b = self.batch_size
+            wav = (0.1 * self.rng.standard_normal((b, self.audio_len))).astype(np.float32)
+            wav_lens = self.rng.integers(self.audio_len // 2, self.audio_len + 1, b)
+            tgt_len = self.rng.integers(3, 8, b)
+            tgt = self.rng.integers(1, self.num_classes, (b, int(tgt_len.max())))
+            tgt = tgt * (np.arange(tgt.shape[1])[None] < tgt_len[:, None])
+            yield wav, wav_lens.astype(np.int32), tgt.astype(np.int32), tgt_len.astype(np.int32)
+
+
+class LibriSpeechBatches:
+    def __init__(self, root, url, batch_size, max_seconds=8.0):
+        from audio_tpu.datasets import LIBRISPEECH
+
+        self.ds = LIBRISPEECH(root, url=url, download=False)
+        self.batch_size = batch_size
+        self.max_len = int(max_seconds * SAMPLE_RATE)
+        self.vocab = {c: i for i, c in enumerate(LABELS)}
+
+    def __iter__(self):
+        order = np.random.default_rng(0).permutation(len(self.ds))
+        batch = []
+        for i in order:
+            wav, sr, text, *_ = self.ds[int(i)]
+            wav = np.asarray(wav).reshape(-1)[: self.max_len]
+            tokens = [self.vocab[c] for c in text.lower() if c in self.vocab]
+            if tokens:
+                batch.append((wav, tokens))
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+
+    def _collate(self, batch):
+        wav_lens = np.array([len(w) for w, _ in batch], np.int32)
+        tgt_lens = np.array([len(t) for _, t in batch], np.int32)
+        wav = np.zeros((len(batch), self.max_len), np.float32)
+        tgt = np.zeros((len(batch), int(tgt_lens.max())), np.int32)
+        for k, (w, t) in enumerate(batch):
+            wav[k, : len(w)] = w
+            tgt[k, : len(t)] = t
+        return wav, wav_lens, tgt, tgt_lens
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--global-batch", type=int, default=8)
+    p.add_argument("--learning-rate", type=float, default=0.6,
+                   help="adadelta lr, as in the reference recipe")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--librispeech-path", default=None)
+    p.add_argument("--librispeech-url", default="train-clean-100")
+    p.add_argument("--decode-every", type=int, default=50)
+    args = p.parse_args()
+
+    mesh = create_mesh(tp=1)
+    num_classes = len(LABELS)
+
+    if args.synthetic or args.librispeech_path is None:
+        data = SyntheticBatches(args.global_batch, num_classes)
+    else:
+        data = LibriSpeechBatches(args.librispeech_path, args.librispeech_url, args.global_batch)
+
+    model = Wav2Letter(num_classes=num_classes, input_type="mfcc", num_features=N_MFCC)
+    mfcc = MFCC(sample_rate=SAMPLE_RATE, n_mfcc=N_MFCC,
+                melkwargs={"n_fft": 400, "hop_length": HOP, "n_mels": 40})
+
+    def featurize(wav, wav_lens):
+        feats = mfcc(wav)  # (B, n_mfcc, T)
+        # per-utterance mean/var normalization, as the reference recipe's
+        # datapipeline does before the conv stack
+        mean = feats.mean(axis=-1, keepdims=True)
+        std = feats.std(axis=-1, keepdims=True) + 1e-5
+        feats = (feats - mean) / std
+        feat_lens = wav_lens // HOP + 1
+        return feats, feat_lens
+
+    wav0, wl0, tgt0, tl0 = next(iter(data))
+    feats0, _ = featurize(jnp.asarray(wav0), jnp.asarray(wl0))
+    params = model.init(jax.random.PRNGKey(0), feats0)["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(json.dumps({"event": "init", "params_m": round(n_params / 1e6, 3),
+                      "mesh": dict(mesh.shape)}))
+
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adadelta(args.learning_rate))
+    opt_state = tx.init(params)
+    rep = replicate(mesh)
+    params, opt_state = jax.device_put((params, opt_state), rep)
+
+    # output length after the conv stack (stride-2 first conv)
+    def out_lens(feat_lens, t_in, t_out):
+        return jnp.minimum((feat_lens * t_out) // t_in + 1, t_out)
+
+    def loss_fn(params, feats, feat_lens, targets, target_lengths):
+        logp = model.apply({"params": params}, feats)  # (B, C, T')
+        logp = jnp.swapaxes(logp, 1, 2)  # (B, T', C)
+        in_lens = out_lens(feat_lens, feats.shape[-1], logp.shape[1])
+        return ctc_loss(logp, targets, in_lens, target_lengths, blank=0, reduction="mean"), logp
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, feats, feat_lens, targets, target_lengths):
+        (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, feats, feat_lens, targets, target_lengths
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, logp
+
+    it = iter(data)
+    t0 = time.time()
+    for step in range(args.steps):
+        wav, wav_lens, tgt, tgt_lens = next(it)
+        feats, feat_lens = featurize(jnp.asarray(wav), jnp.asarray(wav_lens))
+        feats = jax.device_put(feats, batch_sharding(mesh, 3))
+        feat_lens = jax.device_put(feat_lens, batch_sharding(mesh, 1))
+        tgt_d = jax.device_put(jnp.asarray(tgt), batch_sharding(mesh, 2))
+        tgt_lens_d = jax.device_put(jnp.asarray(tgt_lens), batch_sharding(mesh, 1))
+        params, opt_state, loss, logp = train_step(
+            params, opt_state, feats, feat_lens, tgt_d, tgt_lens_d
+        )
+        rec = {"event": "step", "step": step, "loss": round(float(loss), 4),
+               "elapsed_s": round(time.time() - t0, 1)}
+        if step % args.decode_every == 0 or step == args.steps - 1:
+            hyp_tokens, hyp_lens = ctc_greedy_decode(logp, blank=0)
+            hyp = np.asarray(hyp_tokens)[0][: int(np.asarray(hyp_lens)[0])]
+            refstr = "".join(LABELS[i] for i in tgt[0][: int(tgt_lens[0])])
+            hypstr = "".join(LABELS[i] for i in hyp)
+            rec["cer"] = round(
+                F.edit_distance(list(refstr), list(hypstr)) / max(len(refstr), 1), 4
+            )
+            rec["sample_hyp"] = hypstr[:60]
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,22 @@ def test_masked_padding_forward(models):
     )
     mel_out = np.asarray(out[0])
     assert (mel_out[1, :, 7:] == 0).all()
+
+
+def test_init_params_are_concrete():
+    """model.init must not leak scan-body tracers (decoder params are created
+    eagerly before the lax.scan; regression for the init-inside-scan bug)."""
+    model = Tacotron2(**CFG)
+    tok = jnp.ones((2, 6), jnp.int32)
+    tl = jnp.full((2,), 6, jnp.int32)
+    mel = jnp.zeros((2, CFG["n_mels"], 10))
+    ml = jnp.full((2,), 10, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tok, tl, mel, ml, prenet_dropout=False)
+    for leaf in jax.tree_util.tree_leaves(variables):
+        np.asarray(leaf)  # raises on tracers
+    # and the params must be usable in a fresh apply + grad
+    out = model.apply(variables, tok, tl, mel, ml, prenet_dropout=False)
+    assert out[0].shape == (2, CFG["n_mels"], 10)
+    inf_vars = model.init(jax.random.PRNGKey(0), tok, tl, method=Tacotron2.infer, max_steps=4)
+    for leaf in jax.tree_util.tree_leaves(inf_vars):
+        np.asarray(leaf)

@@ -9,8 +9,11 @@ _REPO = __file__.rsplit("/tests/", 1)[0]
 
 
 def _run(path, argv):
-    spec = importlib.util.spec_from_file_location(f"_recipe_{abs(hash(path))}", path)
+    name = f"_recipe_{abs(hash(path))}"
+    spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
+    # flax nn.Module dataclass creation looks up sys.modules[cls.__module__]
+    sys.modules[name] = mod
     old_argv = sys.argv
     sys.argv = argv
     try:
@@ -18,6 +21,7 @@ def _run(path, argv):
         mod.main()
     finally:
         sys.argv = old_argv
+        sys.modules.pop(name, None)
 
 
 @pytest.mark.slow
@@ -47,3 +51,50 @@ def test_source_separation_recipe():
         f"{_REPO}/examples/source_separation/train.py",
         ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
     )
+
+
+@pytest.mark.slow
+def test_conformer_rnnt_recipe():
+    _run(
+        f"{_REPO}/examples/asr/conformer_rnnt/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
+    )
+
+
+@pytest.mark.slow
+def test_wav2letter_recipe():
+    _run(
+        f"{_REPO}/examples/asr/wav2letter/train.py",
+        ["train.py", "--synthetic", "--steps", "2", "--global-batch", "8"],
+    )
+
+
+@pytest.mark.slow
+def test_tacotron2_recipe():
+    _run(
+        f"{_REPO}/examples/tts/tacotron2/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
+    )
+
+
+@pytest.mark.slow
+def test_wavernn_recipe():
+    _run(
+        f"{_REPO}/examples/tts/wavernn/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
+    )
+
+
+@pytest.mark.slow
+def test_dnn_beamformer_recipe():
+    _run(
+        f"{_REPO}/examples/dnn_beamformer/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
+    )
+
+
+@pytest.mark.slow
+def test_ctc_decoder_example(capsys):
+    _run(f"{_REPO}/examples/asr/ctc_decoder/infer.py", ["infer.py"])
+    out = capsys.readouterr().out
+    assert "the editor" in out

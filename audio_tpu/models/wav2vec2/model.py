@@ -121,6 +121,9 @@ class HuBERTPretrainModel(nn.Module):
         deterministic: bool = False,
     ):
         x, lengths = self.wav2vec2.feature_extractor(waveforms, audio_lengths)
+        # feature penalty, as the reference returns (wav2vec2/model.py:123
+        # `features_pen = x.float().pow(2).mean()`)
+        feature_penalty = jnp.square(x.astype(jnp.float32)).mean()
         if lengths is not None:
             padding_mask = jnp.arange(x.shape[1])[None, :] >= lengths[:, None]
         else:
@@ -135,7 +138,7 @@ class HuBERTPretrainModel(nn.Module):
             mask_m = mask
             mask_u = ~mask_m
         logit_m, logit_u = self.logit_generator(x, labels, mask_m, mask_u)
-        return logit_m, logit_u, mask_m, mask_u
+        return logit_m, logit_u, mask_m, mask_u, feature_penalty
 
 
 def wav2vec2_model(

@@ -77,6 +77,7 @@ def main():
     p.add_argument("--audio-seconds", type=float, default=1.0)
     p.add_argument("--masked-weight", type=float, default=1.0)
     p.add_argument("--unmasked-weight", type=float, default=0.0)
+    p.add_argument("--feature-weight", type=float, default=10.0)
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -122,14 +123,14 @@ def main():
 
     def loss_fn(params, wav, labels, key):
         k_mask, k_drop = jax.random.split(key)
-        logit_m, logit_u, mask_m, mask_u = model.apply(
+        logit_m, logit_u, mask_m, mask_u, feature_penalty = model.apply(
             {"params": params}, wav, labels, deterministic=False,
             rngs={"mask": k_mask, "dropout": k_drop},
         )
         loss = args.masked_weight * masked_ce(logit_m, labels, mask_m)
         if args.unmasked_weight > 0:
             loss = loss + args.unmasked_weight * masked_ce(logit_u, labels, mask_u)
-        return loss
+        return loss + args.feature_weight * feature_penalty
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, wav, labels, key):

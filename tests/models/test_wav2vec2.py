@@ -247,9 +247,10 @@ class TestHuBERTPretrain:
             {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
             wav, labels, deterministic=True,
         )
-        logit_m, logit_u, mask_m, mask_u = model.apply(
+        logit_m, logit_u, mask_m, mask_u, feature_penalty = model.apply(
             params, wav, labels, jnp.asarray([3200, 1600]),
             rngs={"mask": jax.random.PRNGKey(2)}, deterministic=True,
         )
         assert logit_m.shape[-1] == 10
         assert mask_m.dtype == bool
+        assert feature_penalty.shape == ()

@@ -98,3 +98,19 @@ def test_ctc_decoder_example(capsys):
     _run(f"{_REPO}/examples/asr/ctc_decoder/infer.py", ["infer.py"])
     out = capsys.readouterr().out
     assert "the editor" in out
+
+
+@pytest.mark.slow
+def test_ssl_hubert_recipe():
+    _run(
+        f"{_REPO}/examples/self_supervised_learning/train_hubert.py",
+        ["train_hubert.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
+    )
+
+
+@pytest.mark.slow
+def test_avsr_recipe():
+    _run(
+        f"{_REPO}/examples/avsr/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
+    )

@@ -132,6 +132,40 @@ class LibriSpeechBatches:
         return wav, wav_lens, tgt, tgt_lens
 
 
+class TedliumBatches(LibriSpeechBatches):
+    """Char-level TED-LIUM release-3 batches (reference tedlium3 sub-recipe,
+    /root/reference/examples/asr/emformer_rnnt/tedlium3/lightning.py:82)."""
+
+    def __init__(self, root, batch_size, subset="train", max_seconds=8.0):
+        from audio_tpu.datasets import TEDLIUM
+
+        self.ds = TEDLIUM(root, release="release3", subset=subset)
+        self.batch_size = batch_size
+        self.max_len = int(max_seconds * SAMPLE_RATE)
+        self.vocab = {c: i for i, c in enumerate(self.LABELS)}
+
+    def __iter__(self):
+        order = np.random.default_rng(0).permutation(len(self.ds))
+        batch = []
+        for i in order:
+            wav, sr, text, *_ = self.ds[int(i)]
+            text = text.lower().replace("<unk>", "").strip()
+            wav = np.asarray(wav).reshape(-1)[: self.max_len]
+            tokens = [self.vocab[c] for c in text if c in self.vocab]
+            if tokens:
+                batch.append((wav, tokens))
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+
+
+# Reference sub-recipe vocab sizes: librispeech 4097-piece sentencepiece
+# (librispeech/lightning.py:74), tedlium3 / mustc 501
+# (tedlium3/lightning.py:82, mustc/lightning.py:52). Char-level fallback (29)
+# is used when no sentencepiece model is supplied.
+MODEL_TYPE_NUM_SYMBOLS = {"librispeech": 4097, "tedlium3": 501, "mustc": 501}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
@@ -140,9 +174,15 @@ def main():
     p.add_argument("--warmup-steps", type=int, default=40)
     p.add_argument("--tiny", action="store_true", help="2-layer debug model")
     p.add_argument("--synthetic", action="store_true", help="random data, no dataset needed")
+    p.add_argument("--model-type", default="librispeech",
+                   choices=("librispeech", "tedlium3", "mustc"),
+                   help="reference sub-recipe to mirror (sets vocab size / dataset)")
     p.add_argument("--librispeech-path", default=None)
     p.add_argument("--librispeech-url", default="train-clean-100")
-    p.add_argument("--num-symbols", type=int, default=29)
+    p.add_argument("--tedlium-path", default=None, help="TED-LIUM release3 root")
+    p.add_argument("--num-symbols", type=int, default=None,
+                   help="default: 29 (char) with a dataset, else the reference "
+                        "sub-recipe vocab (librispeech 4097, tedlium3/mustc 501)")
     p.add_argument("--checkpoint", default=None, help="path to save final params (npz)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax checkpoint dir; auto-resumes from the latest step")
@@ -152,12 +192,15 @@ def main():
     mesh = create_mesh(tp=1)
     print(f"mesh: {mesh.shape}, devices: {len(jax.devices())}")
 
-    if args.synthetic or args.librispeech_path is None:
-        data = SyntheticBatches(args.global_batch, args.num_symbols)
-        num_symbols = args.num_symbols
-    else:
+    if args.tedlium_path and not args.synthetic:
+        data = TedliumBatches(args.tedlium_path, args.global_batch)
+        num_symbols = data.num_symbols
+    elif args.librispeech_path and not args.synthetic:
         data = LibriSpeechBatches(args.librispeech_path, args.librispeech_url, args.global_batch)
         num_symbols = data.num_symbols
+    else:
+        num_symbols = args.num_symbols or (29 if args.tiny else MODEL_TYPE_NUM_SYMBOLS[args.model_type])
+        data = SyntheticBatches(args.global_batch, num_symbols)
 
     model = tiny_model(num_symbols) if args.tiny else emformer_rnnt_base(num_symbols)
     seg = model.transcriber.segment_length

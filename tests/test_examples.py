@@ -114,3 +114,21 @@ def test_avsr_recipe():
         f"{_REPO}/examples/avsr/train.py",
         ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
     )
+
+
+@pytest.mark.slow
+def test_hubert_finetune_recipe():
+    _run(
+        f"{_REPO}/examples/hubert/finetune.py",
+        ["finetune.py", "--synthetic", "--tiny", "--steps", "2",
+         "--freeze-encoder-updates", "1", "--global-batch", "8"],
+    )
+
+
+@pytest.mark.slow
+def test_emformer_rnnt_eval(capsys):
+    _run(
+        f"{_REPO}/examples/asr/emformer_rnnt/eval.py",
+        ["eval.py", "--synthetic", "--tiny", "--utterances", "1", "--beam-width", "2"],
+    )
+    assert "WER" in capsys.readouterr().out

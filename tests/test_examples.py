@@ -132,3 +132,44 @@ def test_emformer_rnnt_eval(capsys):
         ["eval.py", "--synthetic", "--tiny", "--utterances", "1", "--beam-width", "2"],
     )
     assert "WER" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_conformer_rnnt_biasing_recipe():
+    _run(
+        f"{_REPO}/examples/asr/conformer_rnnt_biasing/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
+    )
+
+
+def test_tcpgen_trie():
+    import importlib.util
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "_biasing", f"{_REPO}/examples/asr/conformer_rnnt_biasing/biasing.py")
+    biasing = importlib.util.module_from_spec(spec)
+    sys.modules["_biasing"] = biasing
+    spec.loader.exec_module(biasing)
+
+    table = biasing.build_trie([[1, 2], [1, 3], [4]], vocab_size=6)
+    # root has edges for 1 and 4 only
+    assert (table[0] >= 0).tolist() == [False, True, False, False, True, False]
+    node1 = table[0, 1]
+    assert table[node1, 2] >= 0 and table[node1, 3] >= 0 and table[node1, 1] == -1
+
+    # states over targets [1, 2, 4]: root -> node1 -> (leaf, restart fails -> check)
+    targets = jnp.asarray([[1, 2, 4]], jnp.int32)
+    nodes = np.asarray(biasing.trie_states(jnp.asarray(table), targets))[0]
+    assert nodes[0] == 0 and nodes[1] == node1
+    # after "1 2" we are at a leaf; "4" restarts a new word from the root
+    leaf = table[node1, 2]
+    assert nodes[2] == leaf
+    assert nodes[3] == table[0, 4]
+
+    mask = np.asarray(biasing.valid_next_tokens(jnp.asarray(table), jnp.asarray(nodes)[None]))
+    assert mask[0, 0].tolist() == [False, True, False, False, True, False]
+    assert mask[0, 1, 2] and mask[0, 1, 3] and not mask[0, 1, 1]

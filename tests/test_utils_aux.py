@@ -46,3 +46,55 @@ def test_host_chip_mesh_shape():
     mesh = host_chip_mesh()
     assert mesh.axis_names == ("host", "chip")
     assert mesh.devices.size == jax.device_count()
+
+
+def test_module_utils():
+    import pytest
+    import warnings
+
+    from audio_tpu._internal import module_utils as mu
+
+    assert mu.is_module_available("jax")
+    assert not mu.is_module_available("jax", "definitely_not_a_module_xyz")
+
+    import os
+
+    os.environ["_AUDIO_TPU_TEST_FLAG"] = "1"
+    assert mu.eval_env("_AUDIO_TPU_TEST_FLAG", False)
+    os.environ["_AUDIO_TPU_TEST_FLAG"] = "false"
+    assert not mu.eval_env("_AUDIO_TPU_TEST_FLAG", True)
+    os.environ["_AUDIO_TPU_TEST_FLAG"] = "banana"
+    with pytest.raises(RuntimeError):
+        mu.eval_env("_AUDIO_TPU_TEST_FLAG", True)
+    del os.environ["_AUDIO_TPU_TEST_FLAG"]
+    assert mu.eval_env("_AUDIO_TPU_TEST_FLAG", True)
+
+    @mu.requires_module("definitely_not_a_module_xyz")
+    def needs_missing():
+        return 1
+
+    with pytest.raises(RuntimeError, match="requires module"):
+        needs_missing()
+
+    @mu.requires_module("jax")
+    def needs_jax():
+        return 2
+
+    assert needs_jax() == 2
+
+    @mu.deprecated("Use new_fn instead.", version="9.9", remove=True)
+    def old_fn():
+        return 3
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert old_fn() == 3
+    assert any("deprecated" in str(x.message) for x in w)
+
+    @mu.fail_with_message("is not available on this build")
+    def gated():
+        pass
+
+    with pytest.raises(RuntimeError, match="not available"):
+        gated()
+    assert mu.no_op(needs_jax) is needs_jax

@@ -67,12 +67,27 @@ class AudioMetaData:
 
 def info(uri: Union[BinaryIO, str, os.PathLike], format: Optional[str] = None,
          buffer_size: int = 4096, backend: Optional[str] = None) -> AudioMetaData:
-    """Metadata of a WAV file without decoding the samples."""
+    """Metadata of an audio file without decoding the samples."""
     if hasattr(uri, "read"):
         data = uri.read()
     else:
         with open(uri, "rb") as f:
             data = f.read()
+    if data[:4] == b"fLaC":
+        from ._flac import probe_flac
+
+        rate, nch, bits, total = probe_flac(data)
+        return AudioMetaData(rate, total, nch, bits, "FLAC")
+    if data[:7] == b"NIST_1A":
+        from ._formats import parse_sph
+
+        x, rate, bits, enc = parse_sph(data)
+        return AudioMetaData(rate, x.shape[0], x.shape[1], bits, enc)
+    if data[:4] == b".snd":
+        from ._formats import parse_au
+
+        x, rate, bits, enc = parse_au(data)
+        return AudioMetaData(rate, x.shape[0], x.shape[1], bits, enc)
     fmt, frames = _parse_wav(data)
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_PCM:
@@ -139,16 +154,32 @@ def load(
         x, sample_rate, _, raw = _decode(fmt, frames)
         if not normalize and fmt[0] == _WAVE_FORMAT_PCM:
             x = raw  # torchaudio contract: raw integer dtype (uint8/int16/int32)
+    elif data[:4] == b"fLaC":
+        from ._flac import decode_flac
+
+        pcm, sample_rate, bits = decode_flac(data)
+        if normalize:
+            x = pcm.astype(np.float32) / float(1 << (bits - 1))
+        else:
+            x = pcm.astype(np.int16) if bits <= 16 else pcm
+    elif data[:7] == b"NIST_1A":
+        from ._formats import parse_sph
+
+        x, sample_rate, _, _ = parse_sph(data)
+    elif data[:4] == b".snd":
+        from ._formats import parse_au
+
+        x, sample_rate, _, _ = parse_au(data)
     else:
-        # non-WAV container: try soundfile, then scipy (neither handles e.g.
-        # mp3 without libsndfile support — the reference needs FFmpeg too)
+        # unknown container (mp3/ogg/...): try soundfile if present (the
+        # reference needs FFmpeg via torchcodec for these too)
         try:
             import soundfile as sf
 
             x, sample_rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
         except ImportError as err:
             raise ValueError(
-                "Only WAV files are supported by the built-in codec; install soundfile for other formats"
+                "Built-in codecs handle WAV/FLAC/SPHERE/AU; install soundfile for other formats"
             ) from err
     if frame_offset > 0:
         x = x[frame_offset:]
@@ -173,12 +204,25 @@ def save(
     backend: Optional[str] = None,
     compression=None,
 ) -> None:
-    """Save float waveform to WAV (PCM_S 16/32 or PCM_F)."""
+    """Save a waveform to WAV (PCM_S 16/32 or PCM_F) or FLAC (by extension)."""
     x = np.asarray(src)
     if x.ndim == 1:
         x = x[None] if channels_first else x[:, None]
     if channels_first:
         x = x.T  # (time, channel)
+    fmt_name = (format or os.path.splitext(str(uri))[1].lstrip(".")).lower()
+    if fmt_name == "flac":
+        from ._flac import encode_flac
+
+        bits = bits_per_sample or 16
+        if x.dtype.kind == "f":
+            amp = float((1 << (bits - 1)) - 1)
+            pcm = np.clip(np.round(x * (1 << (bits - 1))), -amp - 1, amp).astype(np.int64)
+        else:
+            pcm = x.astype(np.int64)
+        with open(uri, "wb") as f:
+            f.write(encode_flac(pcm, sample_rate, bits_per_sample=bits))
+        return
     bits = bits_per_sample or 16
     enc = encoding or ("PCM_S" if bits in (16, 24, 32) else "PCM_F")
     if enc == "PCM_F" or bits == 64:

@@ -1,0 +1,145 @@
+"""Codec tests: FLAC (native C++ decoder + numpy encoder), SPHERE, AU.
+
+Round-trip matrix over every subframe type / stereo mode / bit depth the
+encoder can emit, plus container dispatch through the public load/save/info.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import audio_tpu
+from audio_tpu.io._flac import decode_flac, encode_flac, probe_flac
+from audio_tpu.io._formats import MULAW_TABLE
+
+
+def _signal(n, nch, bits, seed=0):
+    rng = np.random.default_rng(seed)
+    amp = 2 ** (bits - 1) - 1
+    t = np.arange(n)
+    x = np.clip((np.sin(2 * np.pi * t / 50) * 0.4 + 0.05 * rng.standard_normal(n)) * amp,
+                -amp, amp).astype(np.int64)
+    x = np.stack([np.roll(x, 3 * i) // (i + 1) for i in range(nch)], 1)
+    x[:64] = 1 if bits <= 8 else 42  # constant-subframe region
+    return x
+
+
+@pytest.mark.parametrize(
+    "n,nch,bits,kwargs",
+    [
+        (10000, 1, 16, {}),
+        (10000, 2, 16, {"use_lpc": True}),
+        (10000, 2, 16, {"stereo_mode": "left_side", "use_lpc": True}),
+        (10000, 2, 16, {"stereo_mode": "mid_side", "use_lpc": True}),
+        (4096, 1, 24, {"use_lpc": True}),
+        (777, 2, 8, {}),
+        (50, 1, 16, {}),
+        (8192, 1, 16, {"partition_order": 3}),
+        (4096, 2, 16, {"force_verbatim": True}),
+        (9000, 1, 12, {}),
+        (6000, 1, 20, {"partition_order": 2, "use_lpc": True}),
+        (12000, 4, 16, {}),
+    ],
+)
+def test_flac_roundtrip(n, nch, bits, kwargs):
+    x = _signal(n, nch, bits)
+    enc = encode_flac(x, 16000, bits_per_sample=bits, **kwargs)
+    rate, ch, b, total = probe_flac(enc)
+    assert (rate, ch, b, total) == (16000, nch, bits, n)
+    dec, drate, dbits = decode_flac(enc)
+    assert (drate, dbits) == (16000, bits)
+    np.testing.assert_array_equal(dec.astype(np.int64), x)
+
+
+def test_flac_wasted_bits():
+    x = (_signal(8000, 1, 16) >> 4) << 4
+    enc = encode_flac(x, 16000, bits_per_sample=16)
+    dec, _, _ = decode_flac(enc)
+    np.testing.assert_array_equal(dec.astype(np.int64), x)
+
+
+def test_flac_through_public_api(tmp_path):
+    path = str(tmp_path / "x.flac")
+    wav = np.sin(2 * np.pi * 440 * np.arange(8000) / 16000).astype(np.float32)[None] * 0.5
+    audio_tpu.save(path, wav, 16000)
+    meta = audio_tpu.info(path)
+    assert meta.encoding == "FLAC" and meta.sample_rate == 16000 and meta.num_frames == 8000
+    out, sr = audio_tpu.load(path)
+    assert sr == 16000 and out.shape == wav.shape
+    # 16-bit quantization error bound
+    assert np.abs(out - wav).max() < 1.0 / 32768 + 1e-7
+    # frame_offset / num_frames contract
+    seg, _ = audio_tpu.load(path, frame_offset=100, num_frames=50)
+    np.testing.assert_allclose(seg, out[:, 100:150], rtol=0, atol=0)
+
+
+def _write_sph(path, pcm16, rate, nch):
+    header = (
+        f"NIST_1A\n   1024\nsample_rate -i {rate}\nchannel_count -i {nch}\n"
+        f"sample_n_bytes -i 2\nsample_byte_format -s2 01\nsample_coding -s3 pcm\n"
+        f"sample_count -i {pcm16.size}\nend_head\n"
+    ).encode()
+    with open(path, "wb") as f:
+        f.write(header + b" " * (1024 - len(header)) + pcm16.astype("<i2").tobytes())
+
+
+def test_sphere(tmp_path):
+    path = str(tmp_path / "x.sph")
+    pcm = (np.sin(2 * np.pi * 300 * np.arange(4000) / 16000) * 20000).astype(np.int16)
+    _write_sph(path, pcm, 16000, 1)
+    out, sr = audio_tpu.load(path)
+    assert sr == 16000 and out.shape == (1, 4000)
+    np.testing.assert_allclose(out[0], pcm.astype(np.float32) / 32768.0)
+    meta = audio_tpu.info(path)
+    assert meta.num_frames == 4000 and meta.num_channels == 1
+
+
+def test_au(tmp_path):
+    path = str(tmp_path / "x.au")
+    pcm = (np.sin(2 * np.pi * 300 * np.arange(4000) / 22050) * 20000).astype(np.int16)
+    with open(path, "wb") as f:
+        f.write(b".snd" + struct.pack(">IIIII", 24, pcm.nbytes, 3, 22050, 1))
+        f.write(pcm.astype(">i2").tobytes())
+    out, sr = audio_tpu.load(path)
+    assert sr == 22050 and out.shape == (1, 4000)
+    np.testing.assert_allclose(out[0], pcm.astype(np.float32) / 32768.0)
+
+
+def test_mulaw_table_g711_anchors():
+    """G.711 mu-law wire-format anchors (CCITT table values)."""
+    assert MULAW_TABLE[0x00] == -32124
+    assert MULAW_TABLE[0x80] == 32124
+    assert MULAW_TABLE[0xFF] == 0
+    assert MULAW_TABLE[0x7F] == 0
+    # strictly decreasing magnitude within the negative half
+    neg = MULAW_TABLE[:128].astype(np.int64)
+    assert (np.diff(neg) > 0).all()
+    # sign symmetry: code ^ 0x80 flips the sign
+    np.testing.assert_array_equal(MULAW_TABLE[128:], -MULAW_TABLE[:128])
+
+
+def test_librispeech_real_flac(tmp_path):
+    """LIBRISPEECH loads a mock corpus written as genuine FLAC files."""
+    from audio_tpu.datasets import LIBRISPEECH
+
+    root = tmp_path / "LibriSpeech"
+    d = root / "dev-clean" / "84" / "121123"
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    wavs = {}
+    with open(d / "84-121123.trans.txt", "w") as trans:
+        for i in range(2):
+            fileid = f"84-121123-{i:04d}"
+            wav = (0.3 * np.sin(2 * np.pi * (200 + 100 * i) * np.arange(1600) / 16000)
+                   + 0.01 * rng.standard_normal(1600)).astype(np.float32)[None]
+            audio_tpu.save(str(d / f"{fileid}.flac"), wav, 16000)
+            wavs[fileid] = wav
+            trans.write(f"{fileid} HELLO NUMBER {i}\n")
+    ds = LIBRISPEECH(str(tmp_path), url="dev-clean", folder_in_archive="LibriSpeech")
+    assert len(ds) == 2
+    wav, sr, transcript, spk, chap, utt = ds[0]
+    assert sr == 16000 and transcript == "HELLO NUMBER 0"
+    ref = wavs["84-121123-0000"]
+    assert np.abs(np.asarray(wav) - ref).max() < 1.0 / 32768 + 1e-7

@@ -682,7 +682,8 @@ class GTZAN:
                     continue
                 for fname in sorted(os.listdir(fulldir)):
                     name, ext = os.path.splitext(fname)
-                    if ext.lower() == ".wav" and "." in name:
+                    # the official archive ships .au; converted corpora .wav
+                    if ext.lower() in (".wav", ".au") and "." in name:
                         genre, num = name.split(".")
                         if genre in gtzan_genres and len(num) == 5 and num.isdigit():
                             self._walker.append(name)
@@ -692,7 +693,10 @@ class GTZAN:
     def __getitem__(self, n: int):
         fileid = self._walker[n]
         genre, _ = fileid.split(".")
-        waveform, sample_rate = io.load(os.path.join(self._path, genre, fileid + self._ext_audio))
+        path = os.path.join(self._path, genre, fileid + self._ext_audio)
+        if not os.path.exists(path):
+            path = os.path.join(self._path, genre, fileid + ".au")
+        waveform, sample_rate = io.load(path)
         return waveform, sample_rate, genre
 
     def __len__(self) -> int:

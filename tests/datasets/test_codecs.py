@@ -143,3 +143,43 @@ def test_librispeech_real_flac(tmp_path):
     assert sr == 16000 and transcript == "HELLO NUMBER 0"
     ref = wavs["84-121123-0000"]
     assert np.abs(np.asarray(wav) - ref).max() < 1.0 / 32768 + 1e-7
+
+
+def test_tedlium_real_sph(tmp_path):
+    """TEDLIUM release3 loads a mock corpus of genuine NIST SPHERE files."""
+    from audio_tpu.datasets import TEDLIUM
+
+    base = tmp_path / "TEDLIUM_release-3" / "data"
+    (base / "stm").mkdir(parents=True)
+    (base / "sph").mkdir()
+    rate = 16000
+    pcm = (np.sin(2 * np.pi * 250 * np.arange(3 * rate) / rate) * 15000).astype(np.int16)
+    _write_sph(str(base / "sph" / "TalkA.sph"), pcm, rate, 1)
+    with open(base / "stm" / "TalkA.stm", "w") as f:
+        f.write("TalkA 1 speaker_a 0.5 1.5 <o,f0,male> hello ted talk\n")
+        f.write("TalkA 1 speaker_a 1.5 2.5 <o,f0,male> second segment\n")
+    ds = TEDLIUM(str(tmp_path), release="release3", subset="train")
+    assert len(ds) == 2
+    wav, sr, transcript, talk_id, speaker_id, identifier = ds[0]
+    assert sr == rate and talk_id == "TalkA" and transcript.strip() == "hello ted talk"
+    wav = np.asarray(wav).reshape(-1)
+    assert wav.size == rate  # 1 s segment [0.5, 1.5)
+    np.testing.assert_allclose(
+        wav, pcm[rate // 2 : rate // 2 + rate].astype(np.float32) / 32768.0)
+
+
+def test_gtzan_real_au(tmp_path):
+    """GTZAN loads a mock corpus of genuine Sun AU files."""
+    from audio_tpu.datasets import GTZAN
+
+    d = tmp_path / "genres" / "jazz"
+    d.mkdir(parents=True)
+    pcm = (np.sin(2 * np.pi * 440 * np.arange(2000) / 22050) * 12000).astype(np.int16)
+    with open(d / "jazz.00000.au", "wb") as f:
+        f.write(b".snd" + struct.pack(">IIIII", 24, pcm.nbytes, 3, 22050, 1))
+        f.write(pcm.astype(">i2").tobytes())
+    ds = GTZAN(str(tmp_path))
+    assert len(ds) == 1
+    wav, sr, genre = ds[0]
+    assert sr == 22050 and genre == "jazz"
+    np.testing.assert_allclose(np.asarray(wav).reshape(-1), pcm.astype(np.float32) / 32768.0)

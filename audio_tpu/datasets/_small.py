@@ -680,13 +680,15 @@ class GTZAN:
                 fulldir = os.path.join(self._path, directory)
                 if not os.path.exists(fulldir):
                     continue
+                seen = set()
                 for fname in sorted(os.listdir(fulldir)):
                     name, ext = os.path.splitext(fname)
                     # the official archive ships .au; converted corpora .wav
-                    if ext.lower() in (".wav", ".au") and "." in name:
+                    if ext.lower() in (".wav", ".au") and "." in name and name not in seen:
                         genre, num = name.split(".")
                         if genre in gtzan_genres and len(num) == 5 and num.isdigit():
                             self._walker.append(name)
+                            seen.add(name)
         else:
             self._walker = _expand_gtzan_split(subset)
 

@@ -99,14 +99,18 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
     if lib is None:
         raise RuntimeError(f"native FLAC decoder unavailable: {_LIB_ERR}")
     rate, nch, bits, total = probe_flac(data)
-    if total == 0:  # STREAMINFO may omit the length; over-allocate
+    if total == 0:  # STREAMINFO may omit the length (streamed encodes)
         total = (len(data) * 8 // max(bits // 2, 1)) // nch + 65536
-    out = np.empty(total * nch, np.int32)
     written = ctypes.c_int64(0)
-    rc = lib.flac_decode(
-        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out.size, ctypes.byref(written),
-    )
+    for _ in range(16):  # grow-and-retry: -6 = capacity exceeded
+        out = np.empty(total * nch, np.int32)
+        rc = lib.flac_decode(
+            data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out.size, ctypes.byref(written),
+        )
+        if rc != -6:
+            break
+        total *= 8
     if rc != 0:
         raise ValueError(f"FLAC decode failed (code {rc})")
     return out[: written.value * nch].reshape(-1, nch), rate, bits

@@ -14,7 +14,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["parse_sph", "parse_au", "MULAW_TABLE"]
+__all__ = ["parse_sph", "parse_au", "sph_info", "au_info", "MULAW_TABLE"]
 
 
 def _ulaw_table() -> np.ndarray:
@@ -32,12 +32,11 @@ def _ulaw_table() -> np.ndarray:
 MULAW_TABLE = _ulaw_table()
 
 
-def parse_sph(data: bytes) -> Tuple[np.ndarray, int, int, str]:
-    """Decode NIST SPHERE -> (float32 (frames, channels), rate, bits, encoding)."""
+def _sph_fields(data: bytes) -> dict:
     if not data.startswith(b"NIST_1A"):
         raise ValueError("Not a NIST SPHERE file")
     header_size = int(data[8:16].decode("ascii").strip())
-    fields = {}
+    fields = {"_header_size": header_size}
     for line in data[16:header_size].decode("ascii", "replace").splitlines():
         parts = line.strip().split(None, 2)
         if not parts or parts[0] == "end_head":
@@ -48,6 +47,38 @@ def parse_sph(data: bytes) -> Tuple[np.ndarray, int, int, str]:
                 fields[name] = int(value)
             else:
                 fields[name] = value
+    return fields
+
+
+def sph_info(data: bytes) -> Tuple[int, int, int, int, str]:
+    """Header-only metadata: (rate, frames, channels, bits, encoding)."""
+    fields = _sph_fields(data)
+    rate = int(fields.get("sample_rate", 16000))
+    nch = int(fields.get("channel_count", 1))
+    nbytes = int(fields.get("sample_n_bytes", 2))
+    coding = str(fields.get("sample_coding", "pcm"))
+    frames = int(fields.get("sample_count", 0))  # SPHERE: per-channel count
+    enc = "ULAW" if coding.startswith("ulaw") else "PCM_S"
+    return rate, frames, nch, 8 * nbytes, enc
+
+
+def au_info(data: bytes) -> Tuple[int, int, int, int, str]:
+    """Header-only metadata: (rate, frames, channels, bits, encoding)."""
+    if data[:4] != b".snd":
+        raise ValueError("Not a Sun AU file")
+    offset, size, enc, rate, nch = struct.unpack(">IIIII", data[4:24])
+    if size == 0xFFFFFFFF:
+        size = len(data) - offset
+    nbytes = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8}.get(enc, 2)
+    name = {1: "ULAW", 6: "PCM_F", 7: "PCM_F"}.get(enc, "PCM_S")
+    frames = size // (nbytes * max(nch, 1))
+    return rate, frames, nch, 8 * nbytes, name
+
+
+def parse_sph(data: bytes) -> Tuple[np.ndarray, int, int, str]:
+    """Decode NIST SPHERE -> (float32 (frames, channels), rate, bits, encoding)."""
+    fields = _sph_fields(data)
+    header_size = fields["_header_size"]
     rate = int(fields.get("sample_rate", 16000))
     nch = int(fields.get("channel_count", 1))
     nbytes = int(fields.get("sample_n_bytes", 2))
@@ -60,10 +91,12 @@ def parse_sph(data: bytes) -> Tuple[np.ndarray, int, int, str]:
             "SPHERE file uses embedded shorten compression; convert with "
             "`sph2pipe -f wav` first (the reference needs the same conversion)"
         )
+    enc = "PCM_S"
     if coding.startswith("ulaw") or (coding == "pcm" and nbytes == 1 and "ulaw" in str(fields)):
         pcm = MULAW_TABLE[np.frombuffer(body, np.uint8)]
         x = pcm.astype(np.float32) / 32768.0
         bits = 8
+        enc = "ULAW"
     elif nbytes == 2:
         dtype = "<i2" if byte_format == "01" else ">i2"
         pcm = np.frombuffer(body[: len(body) // 2 * 2], dtype)
@@ -76,7 +109,7 @@ def parse_sph(data: bytes) -> Tuple[np.ndarray, int, int, str]:
     else:
         raise ValueError(f"Unsupported SPHERE sample_n_bytes={nbytes}")
     frames = x.size // nch
-    return x[: frames * nch].reshape(-1, nch), rate, bits, "PCM_S"
+    return x[: frames * nch].reshape(-1, nch), rate, bits, enc
 
 
 def parse_au(data: bytes) -> Tuple[np.ndarray, int, int, str]:

@@ -79,15 +79,15 @@ def info(uri: Union[BinaryIO, str, os.PathLike], format: Optional[str] = None,
         rate, nch, bits, total = probe_flac(data)
         return AudioMetaData(rate, total, nch, bits, "FLAC")
     if data[:7] == b"NIST_1A":
-        from ._formats import parse_sph
+        from ._formats import sph_info
 
-        x, rate, bits, enc = parse_sph(data)
-        return AudioMetaData(rate, x.shape[0], x.shape[1], bits, enc)
+        rate, frames, nch, bits, enc = sph_info(data)
+        return AudioMetaData(rate, frames, nch, bits, enc)
     if data[:4] == b".snd":
-        from ._formats import parse_au
+        from ._formats import au_info
 
-        x, rate, bits, enc = parse_au(data)
-        return AudioMetaData(rate, x.shape[0], x.shape[1], bits, enc)
+        rate, frames, nch, bits, enc = au_info(data)
+        return AudioMetaData(rate, frames, nch, bits, enc)
     fmt, frames = _parse_wav(data)
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_PCM:
@@ -160,8 +160,12 @@ def load(
         pcm, sample_rate, bits = decode_flac(data)
         if normalize:
             x = pcm.astype(np.float32) / float(1 << (bits - 1))
+        elif bits == 8:
+            x = (pcm + 128).astype(np.uint8)  # WAV-path raw-int contract
+        elif bits <= 16:
+            x = (pcm << (16 - bits)).astype(np.int16)
         else:
-            x = pcm.astype(np.int16) if bits <= 16 else pcm
+            x = (pcm << (32 - bits)).astype(np.int32)  # left-justified, as WAV 24-bit
     elif data[:7] == b"NIST_1A":
         from ._formats import parse_sph
 
@@ -214,12 +218,22 @@ def save(
     if fmt_name == "flac":
         from ._flac import encode_flac
 
-        bits = bits_per_sample or 16
         if x.dtype.kind == "f":
+            bits = bits_per_sample or 16
             amp = float((1 << (bits - 1)) - 1)
             pcm = np.clip(np.round(x * (1 << (bits - 1))), -amp - 1, amp).astype(np.int64)
         else:
+            # integer input: native width, rescaled if an explicit narrower /
+            # wider bits_per_sample was requested
+            native = 8 * x.dtype.itemsize
             pcm = x.astype(np.int64)
+            if x.dtype == np.uint8:
+                pcm -= 128
+            bits = bits_per_sample or min(native, 24)
+            if bits < native:
+                pcm >>= native - bits
+            elif bits > native:
+                pcm <<= bits - native
         with open(uri, "wb") as f:
             f.write(encode_flac(pcm, sample_rate, bits_per_sample=bits))
         return

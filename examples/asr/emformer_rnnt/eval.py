@@ -94,16 +94,22 @@ def main():
             ((0.1 * rng.standard_normal(SAMPLE_RATE)).astype(np.float32), "hello world")
             for _ in range(args.utterances)
         ]
-    elif args.tedlium_path:
-        from audio_tpu.datasets import TEDLIUM
-
-        ds = TEDLIUM(args.tedlium_path, release="release3", subset="test")
-        samples = ((np.asarray(ds[i][0]).reshape(-1), ds[i][2]) for i in range(min(len(ds), args.utterances)))
     else:
-        from audio_tpu.datasets import LIBRISPEECH
+        if args.tedlium_path:
+            from audio_tpu.datasets import TEDLIUM
 
-        ds = LIBRISPEECH(args.librispeech_path, url=args.librispeech_url)
-        samples = ((np.asarray(ds[i][0]).reshape(-1), ds[i][2]) for i in range(min(len(ds), args.utterances)))
+            ds = TEDLIUM(args.tedlium_path, release="release3", subset="test")
+        else:
+            from audio_tpu.datasets import LIBRISPEECH
+
+            ds = LIBRISPEECH(args.librispeech_path, url=args.librispeech_url)
+
+        def _iter(ds=ds):
+            for i in range(min(len(ds), args.utterances)):
+                sample = ds[i]  # one decode per utterance
+                yield np.asarray(sample[0]).reshape(-1), sample[2]
+
+        samples = _iter()
 
     total_err = total_words = 0
     t0 = time.time()

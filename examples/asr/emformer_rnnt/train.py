@@ -108,18 +108,25 @@ class LibriSpeechBatches:
     def num_symbols(self):
         return len(self.LABELS)
 
+    def _clean_text(self, text: str) -> str:
+        return text.lower()
+
     def __iter__(self):
-        order = np.random.default_rng(0).permutation(len(self.ds))
-        batch = []
-        for i in order:
-            wav, sr, text, *_ = self.ds[int(i)]
-            wav = np.asarray(wav).reshape(-1)[: self.max_len]
-            tokens = [self.vocab[c] for c in text.lower() if c in self.vocab]
-            if tokens:
-                batch.append((wav, tokens))
-            if len(batch) == self.batch_size:
-                yield self._collate(batch)
-                batch = []
+        """Endless epochs (reshuffled each pass), like the reference's Lightning loop."""
+        epoch = 0
+        while True:
+            order = np.random.default_rng(epoch).permutation(len(self.ds))
+            batch = []
+            for i in order:
+                wav, sr, text, *_ = self.ds[int(i)]
+                wav = np.asarray(wav).reshape(-1)[: self.max_len]
+                tokens = [self.vocab[c] for c in self._clean_text(text) if c in self.vocab]
+                if tokens:
+                    batch.append((wav, tokens))
+                if len(batch) == self.batch_size:
+                    yield self._collate(batch)
+                    batch = []
+            epoch += 1
 
     def _collate(self, batch):
         wav_lens = np.array([len(w) for w, _ in batch], np.int32)
@@ -144,19 +151,8 @@ class TedliumBatches(LibriSpeechBatches):
         self.max_len = int(max_seconds * SAMPLE_RATE)
         self.vocab = {c: i for i, c in enumerate(self.LABELS)}
 
-    def __iter__(self):
-        order = np.random.default_rng(0).permutation(len(self.ds))
-        batch = []
-        for i in order:
-            wav, sr, text, *_ = self.ds[int(i)]
-            text = text.lower().replace("<unk>", "").strip()
-            wav = np.asarray(wav).reshape(-1)[: self.max_len]
-            tokens = [self.vocab[c] for c in text if c in self.vocab]
-            if tokens:
-                batch.append((wav, tokens))
-            if len(batch) == self.batch_size:
-                yield self._collate(batch)
-                batch = []
+    def _clean_text(self, text: str) -> str:
+        return text.lower().replace("<unk>", "").strip()
 
 
 # Reference sub-recipe vocab sizes: librispeech 4097-piece sentencepiece

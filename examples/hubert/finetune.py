@@ -117,7 +117,13 @@ def main():
         ds = LibriLightLimited(args.dataset_path, subset=args.subset)
 
         def data_iter():
-            order = np.random.default_rng(1).permutation(len(ds))
+            epoch = 0
+            while True:  # endless epochs until --steps is reached
+                order = np.random.default_rng(1 + epoch).permutation(len(ds))
+                epoch += 1
+                yield from _epoch(order)
+
+        def _epoch(order):
             wavs, tgts = [], []
             for i in order:
                 wav, sr, transcript, *_ = ds[int(i)]

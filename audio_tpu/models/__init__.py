@@ -9,7 +9,7 @@ from .deepspeech import DeepSpeech
 from .emformer import Emformer
 from .hdemucs import HDemucs, hdemucs_high, hdemucs_low, hdemucs_medium
 from .rnnt import RNNT, emformer_rnnt_base, emformer_rnnt_model
-from .rnnt_decoder import Hypothesis, RNNTBeamSearch
+from .rnnt_decoder import Hypothesis, RNNTBeamSearch, rnnt_greedy_decode
 from .tacotron2 import Tacotron2
 from .squim import (
     SquimObjective,
@@ -51,6 +51,7 @@ __all__ = [
     "Hypothesis",
     "RNNT",
     "RNNTBeamSearch",
+    "rnnt_greedy_decode",
     "SquimObjective",
     "SquimSubjective",
     "Tacotron2",

@@ -243,3 +243,90 @@ class RNNTBeamSearch:
         """Extract the i-th hypothesis' emitted tokens as a python list."""
         n = int(hypo.counts[i])
         return [int(t) for t in np.asarray(hypo.tokens[i, : max(n, 0)])]
+
+
+def rnnt_greedy_decode(
+    model,
+    params,
+    sources: jnp.ndarray,
+    source_lengths: jnp.ndarray,
+    blank: int,
+    max_tokens: int = 256,
+    max_symbols_per_step: int = 10,
+    temperature: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched greedy (argmax) transducer decoding, fully on-device.
+
+    The reference has no batched decode path — ``RNNTBeamSearch._search``
+    expands hypotheses in Python with a ``.cpu()`` sync per step
+    (/root/reference/src/torchaudio/models/rnnt_decoder.py:226-265). Here the
+    whole batch decodes in one jitted program: ``lax.scan`` over frames with
+    a bounded ``fori_loop`` of ``max_symbols_per_step`` inner expansions per
+    frame; rows that emit blank are masked out of the predictor update.
+
+    Args:
+        sources: (B, T, input_dim) features; source_lengths (B,).
+
+    Returns:
+        (tokens, counts): (B, max_tokens) int32 padded with -1, and (B,)
+        number of emitted tokens per sequence.
+    """
+    enc_out, enc_lens = model.apply(
+        params, sources, source_lengths, deterministic=True, method=model.transcribe
+    )
+    b = enc_out.shape[0]
+    ones = jnp.ones((b,), jnp.int32)
+
+    def predict(tokens, state):
+        out, _, new_state = model.apply(
+            params, tokens, ones, state, deterministic=True, method=model.predict
+        )
+        return out, new_state
+
+    def join(enc_t, pred_out):
+        joined, _, _ = model.apply(
+            params, enc_t[:, None, :], ones, pred_out, ones, method=model.join
+        )
+        return jax.nn.log_softmax(joined[:, 0, 0] / temperature, axis=-1)
+
+    pred_out0, state0 = predict(jnp.full((b, 1), blank, jnp.int32), None)
+    tokens0 = jnp.full((b, max_tokens), -1, jnp.int32)
+    counts0 = jnp.zeros((b,), jnp.int32)
+    rows = jnp.arange(b)
+
+    def frame_step(carry, inputs):
+        enc_t, t = inputs
+        pred_out, state, tokens, counts = carry
+        active_frame = t < enc_lens
+
+        def expand(i, inner):
+            pred_out, state, tokens, counts, still = inner
+            logp = join(enc_t, pred_out)
+            tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            emit = still & (tok != blank) & (counts < max_tokens) & active_frame
+            idx = jnp.clip(counts, 0, max_tokens - 1)
+            cur = tokens[rows, idx]
+            tokens = tokens.at[rows, idx].set(jnp.where(emit, tok, cur))
+            counts = counts + emit.astype(jnp.int32)
+            new_pred_out, new_state = predict(tok[:, None], state)
+
+            def keep(new, old):
+                mask = emit.reshape((b,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            pred_out = keep(new_pred_out, pred_out)
+            state = jax.tree.map(keep, new_state, state)
+            return pred_out, state, tokens, counts, emit
+
+        pred_out, state, tokens, counts, _ = jax.lax.fori_loop(
+            0, max_symbols_per_step, expand,
+            (pred_out, state, tokens, counts, jnp.ones((b,), bool)),
+        )
+        return (pred_out, state, tokens, counts), None
+
+    t_idx = jnp.arange(enc_out.shape[1])
+    (pred_out, state, tokens, counts), _ = jax.lax.scan(
+        frame_step, (pred_out0, state0, tokens0, counts0),
+        (jnp.swapaxes(enc_out, 0, 1), t_idx),
+    )
+    return tokens, counts

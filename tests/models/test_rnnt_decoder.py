@@ -101,3 +101,48 @@ class TestRNNTBeamSearch:
         beam = fwd(x, jnp.asarray(t_len))
         beam2 = fwd(x, jnp.asarray(t_len))
         np.testing.assert_array_equal(np.asarray(beam.tokens), np.asarray(beam2.tokens))
+
+
+def test_greedy_decode_matches_per_sample_reference():
+    """Batched jitted greedy == a per-sample python greedy on the same model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_tpu.models import rnnt_greedy_decode
+
+    model = emformer_rnnt_model(**CFG)
+    b, t_in = 3, 20  # matches the forward test's valid segment tiling (t=20)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((b, t_in, CFG["input_dim"])), jnp.float32)
+    lens = jnp.asarray([16, 16, 12], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens,
+                        jnp.zeros((b, 2), jnp.int32), jnp.asarray([2] * b),
+                        deterministic=True)
+
+    tokens, counts = jax.jit(
+        lambda f, l: rnnt_greedy_decode(model, params, f, l, blank=0, max_symbols_per_step=4)
+    )(feats, lens)
+    tokens, counts = np.asarray(tokens), np.asarray(counts)
+
+    # per-sample python reference greedy using the same model methods
+    for i in range(b):
+        enc, enc_len = model.apply(params, feats[i:i+1], lens[i:i+1],
+                                   deterministic=True, method=model.transcribe)
+        one = jnp.ones((1,), jnp.int32)
+        pred_out, _, state = model.apply(params, jnp.full((1, 1), 0, jnp.int32), one, None,
+                                         deterministic=True, method=model.predict)
+        out = []
+        for t in range(int(enc_len[0])):
+            for _ in range(4):
+                joined, _, _ = model.apply(params, enc[:, t:t+1], one, pred_out, one,
+                                           method=model.join)
+                tok = int(jnp.argmax(joined[0, 0, 0]))
+                if tok == 0:
+                    break
+                out.append(tok)
+                pred_out, _, state = model.apply(params, jnp.full((1, 1), tok, jnp.int32),
+                                                 one, state, deterministic=True,
+                                                 method=model.predict)
+        assert counts[i] == len(out), (i, counts[i], out)
+        assert tokens[i, : len(out)].tolist() == out

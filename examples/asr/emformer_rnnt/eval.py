@@ -53,6 +53,8 @@ def main():
     p.add_argument("--librispeech-url", default="test-clean")
     p.add_argument("--tedlium-path", default=None)
     p.add_argument("--beam-width", type=int, default=10)
+    p.add_argument("--greedy", action="store_true",
+                   help="batched jitted greedy decode instead of beam search")
     p.add_argument("--utterances", type=int, default=50)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
@@ -115,10 +117,17 @@ def main():
     t0 = time.time()
     for i, (wav, transcript) in enumerate(samples):
         feats, length = featurize(jnp.asarray(wav))
-        beam = decoder.forward(feats, jnp.asarray(length), beam_width=args.beam_width)
-        best = int(np.argmax(np.asarray(beam.scores)))
-        n_tok = int(np.asarray(beam.counts)[best])
-        tokens = [int(t) for t in np.asarray(beam.tokens)[best, :n_tok] if t > 0]
+        if args.greedy:
+            from audio_tpu.models import rnnt_greedy_decode
+
+            toks, counts = rnnt_greedy_decode(
+                model, params, feats[None], jnp.asarray([length]), blank=0)
+            tokens = [int(t) for t in np.asarray(toks)[0, : int(counts[0])] if t > 0]
+        else:
+            beam = decoder.forward(feats, jnp.asarray(length), beam_width=args.beam_width)
+            best = int(np.argmax(np.asarray(beam.scores)))
+            n_tok = int(np.asarray(beam.counts)[best])
+            tokens = [int(t) for t in np.asarray(beam.tokens)[best, :n_tok] if t > 0]
         hyp_words = "".join(LABELS[t] for t in tokens).split()
         ref_words = transcript.lower().split()
         err = F.edit_distance(hyp_words, ref_words)

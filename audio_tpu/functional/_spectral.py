@@ -81,9 +81,12 @@ def _power_spec_conv(
     ang = (2.0 * math.pi / n_fft) * f[:, None] * n[None, :]
     w32 = window.astype(jnp.float32)
     kernel = jnp.concatenate([jnp.cos(ang) * w32, -jnp.sin(ang) * w32], axis=0)[:, None, :]
+    # HIGH (3-pass bf16) matches HIGHEST within the f32-input noise floor
+    # (max rel err 1.2e-3 vs 1.1e-3 on the bench signal) at ~0.76x the time;
+    # DEFAULT (1-pass bf16) loses 2 decimal digits and is not acceptable here.
     y = jax.lax.conv_general_dilated(
         x.astype(jnp.float32), kernel, (hop_length,), "VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"), precision=jax.lax.Precision.HIGHEST,
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=jax.lax.Precision.HIGH,
     )
     re, im = y[:, :n_freq], y[:, n_freq:]
     p = re * re + im * im

@@ -11,11 +11,15 @@ collect_ignore_glob = []
 
 
 def pytest_collection_modifyitems(config, items):
+    # NOTE: this hook sees the WHOLE session's items, not just this dir's —
+    # scope the skip to tests that live under tests/integration/.
     if os.environ.get("AUDIO_TPU_RUN_INTEGRATION") or os.environ.get("CI"):
         return
+    here = os.path.dirname(os.path.abspath(__file__))
     skip = pytest.mark.skip(reason="integration tier: set AUDIO_TPU_RUN_INTEGRATION=1 (needs network)")
     for item in items:
-        item.add_marker(skip)
+        if str(item.fspath).startswith(here):
+            item.add_marker(skip)
 
 
 _FILES = {

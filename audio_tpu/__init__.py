@@ -17,7 +17,7 @@ from . import ops  # noqa: F401
 from . import pipelines  # noqa: F401
 from . import transforms  # noqa: F401
 from . import utils  # noqa: F401
-from .io import AudioMetaData, info, load, save  # noqa: F401
+from .io import AudioMetaData, info, load, load_with_torchcodec, save, save_with_torchcodec  # noqa: F401
 
 __all__ = [
     "AudioMetaData",
@@ -27,10 +27,12 @@ __all__ = [
     "info",
     "io",
     "load",
+    "load_with_torchcodec",
     "models",
     "ops",
     "pipelines",
     "save",
+    "save_with_torchcodec",
     "transforms",
     "utils",
     "__version__",

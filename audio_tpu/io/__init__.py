@@ -17,6 +17,7 @@ FFmpeg for those too).  ``load``/``save`` keep the torchaudio argument
 contract (frame_offset/num_frames/normalize/channels_first).
 """
 
+from ._codec_shims import load_with_torchcodec, save_with_torchcodec
 from ._wav import AudioMetaData, info, load, save
 
-__all__ = ["AudioMetaData", "info", "load", "save"]
+__all__ = ["AudioMetaData", "info", "load", "load_with_torchcodec", "save", "save_with_torchcodec"]

@@ -88,6 +88,14 @@ def info(uri: Union[BinaryIO, str, os.PathLike], format: Optional[str] = None,
 
         rate, frames, nch, bits, enc = au_info(data)
         return AudioMetaData(rate, frames, nch, bits, enc)
+    if data[:4] != b"RIFF":
+        from ._ffmpeg import ffmpeg_available, probe_with_ffmpeg
+
+        if ffmpeg_available():
+            m = probe_with_ffmpeg(data, format=format)
+            return AudioMetaData(
+                m["sample_rate"], m["num_frames"], m["num_channels"], m["bits_per_sample"], m["encoding"]
+            )
     fmt, frames = _parse_wav(data)
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_PCM:
@@ -175,16 +183,22 @@ def load(
 
         x, sample_rate, _, _ = parse_au(data)
     else:
-        # unknown container (mp3/ogg/...): try soundfile if present (the
+        # unknown container (mp3/ogg/...): ffmpeg CLI, then soundfile (the
         # reference needs FFmpeg via torchcodec for these too)
-        try:
-            import soundfile as sf
+        from ._ffmpeg import decode_with_ffmpeg, ffmpeg_available
 
-            x, sample_rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
-        except ImportError as err:
-            raise ValueError(
-                "Built-in codecs handle WAV/FLAC/SPHERE/AU; install soundfile for other formats"
-            ) from err
+        if ffmpeg_available():
+            x, sample_rate = decode_with_ffmpeg(data, format=format)
+        else:
+            try:
+                import soundfile as sf
+
+                x, sample_rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+            except ImportError as err:
+                raise ValueError(
+                    "Built-in codecs handle WAV/FLAC/SPHERE/AU; install an ffmpeg "
+                    "binary or the soundfile package for other formats"
+                ) from err
     if frame_offset > 0:
         x = x[frame_offset:]
     if num_frames >= 0:

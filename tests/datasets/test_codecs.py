@@ -183,3 +183,66 @@ def test_gtzan_real_au(tmp_path):
     wav, sr, genre = ds[0]
     assert sr == 22050 and genre == "jazz"
     np.testing.assert_allclose(np.asarray(wav).reshape(-1), pcm.astype(np.float32) / 32768.0)
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg-CLI fallback (compressed containers) and *_with_torchcodec shims
+
+
+def _make_stub_ffmpeg(tmp_path, pcm: np.ndarray, rate: int, nch: int):
+    """A fake ffmpeg binary: ignores its input, emits known f32le PCM (or a
+    WAV header for the probe form).  Exercises the full subprocess plumbing."""
+    raw = tmp_path / "pcm.bin"
+    pcm.astype("<f4").tofile(raw)
+    stub = tmp_path / "ffmpeg"
+    stub.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, struct\n"
+        "sys.stdin.buffer.read()\n"
+        "args = sys.argv[1:]\n"
+        f"data = open({str(raw)!r}, 'rb').read()\n"
+        "if '-f' in args and args[args.index('-f') + 1] == 'wav':\n"
+        "    hdr = b'RIFF' + struct.pack('<I', 36) + b'WAVE'\n"
+        f"    hdr += b'fmt ' + struct.pack('<IHHIIHH', 16, 3, {nch}, {rate}, {rate * nch * 4}, {nch * 4}, 32)\n"
+        "    hdr += b'data' + struct.pack('<I', 0)\n"
+        "    sys.stdout.buffer.write(hdr)\n"
+        "else:\n"
+        "    sys.stdout.buffer.write(data)\n"
+    )
+    stub.chmod(0o755)
+    return stub
+
+
+def test_ffmpeg_cli_fallback(tmp_path, monkeypatch):
+    rate, nch = 22050, 2
+    t = np.arange(2000)
+    pcm = np.stack([np.sin(2 * np.pi * t / 64), np.cos(2 * np.pi * t / 64)], 1).astype(np.float32) * 0.5
+    stub = _make_stub_ffmpeg(tmp_path, pcm, rate, nch)
+    monkeypatch.setenv("AUDIO_TPU_FFMPEG", str(stub))
+
+    fake_mp3 = tmp_path / "x.mp3"
+    fake_mp3.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # mp3-ish magic, content unused by stub
+
+    wav, sr = audio_tpu.load(fake_mp3)
+    assert sr == rate and wav.shape == (nch, 2000)
+    np.testing.assert_allclose(wav, pcm.T, atol=1e-7)
+
+    meta = audio_tpu.info(fake_mp3)  # no ffprobe next to the stub -> WAV-header probe path
+    assert meta.sample_rate == rate and meta.num_channels == nch
+
+    wav2, sr2 = audio_tpu.load(fake_mp3, frame_offset=100, num_frames=50, channels_first=False)
+    assert wav2.shape == (50, nch)
+    np.testing.assert_allclose(wav2, pcm[100:150], atol=1e-7)
+
+
+def test_with_torchcodec_shims(tmp_path):
+    x = (np.sin(2 * np.pi * np.arange(800) / 40) * 0.3).astype(np.float32)[None]
+    p = tmp_path / "shim.wav"
+    audio_tpu.save_with_torchcodec(p, x, 8000)
+    wav, sr = audio_tpu.load_with_torchcodec(p)
+    assert sr == 8000
+    np.testing.assert_allclose(wav, x, atol=1e-4)
+    with pytest.warns(UserWarning, match="normalize=False"):
+        audio_tpu.load_with_torchcodec(p, normalize=False)
+    with pytest.warns(UserWarning, match="backend"):
+        audio_tpu.load_with_torchcodec(p, backend="ffmpeg")

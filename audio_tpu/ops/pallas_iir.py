@@ -13,6 +13,15 @@ round-trip for the recurrence state, and the block solve is two MXU matmuls:
 with A = toeplitz(h).T (the within-block impulse-response solve) and
 B = (toeplitz(h) @ W).T folding the previous block's tail through the
 recurrence (W[t, p] = a_{t + S - p} for the `order` taps, else 0).
+
+Key structural fact exploited below: W is an (order x order) corner block
+(rows t < order, columns p >= S - order), so B has only `order` nonzero
+ROWS — the state fold ``y_prev @ B`` depends only on the last `order`
+samples of the previous block.  Instead of a full (S x S) MXU matmul per
+step, the kernel extracts those `order` lanes and applies the fold as
+broadcast FMAs on the VPU (G = B[S-order:, :], a tiny (order x S) operator).
+That leaves ONE full matmul per block (x @ A) instead of two/three, which
+is ~2-3x on the MXU-bound biquad path.
 """
 
 from __future__ import annotations
@@ -30,11 +39,51 @@ from .iir import allpole_impulse_response
 __all__ = ["iir_pallas"]
 
 _S = 128       # time block (MXU tile)
-_N_BLK = 128   # lanes per grid step
+_N_BLK = 1024  # lanes per grid step (fewer, bigger sequential steps)
+_G_PAD = 8     # sublane padding for the (order, S) fold operators
+# Within-block Toeplitz-solve matmul mode.  "bf16x3" splits each f32 operand
+# into hi+lo bf16 and takes 3 MXU passes (xh@ah + xh@al + xl@ah — drops only
+# the lo*lo term, ~f32-faithful); "highest" uses the 6-pass exact-f32 mode at
+# 2x the MXU time.  Mosaic has no native 3-pass (Precision.HIGH) lowering.
+_DOT_MODE = "highest"  # bf16x3 measured no faster here (VPU fold + DMA bound)
 
 
-def _make_iir_kernel(t_total: int):
-    def kernel(x_ref, a_ref, b_ref, y_ref, state_ref):
+def _block_dot(x, a, dn):
+    """f32 (N,S) @ (S,S) per _DOT_MODE."""
+    if _DOT_MODE == "highest":
+        return jax.lax.dot_general(
+            x, a, dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(p, q):
+        return jax.lax.dot_general(p, q, dn, preferred_element_type=jnp.float32)
+
+    return d(xh, ah) + (d(xh, al) + d(xl, ah))
+
+
+def _tail_fold(state, g_ref, order: int, col):
+    """sum_m state[:, S-order+m] * G[m, :] — the rank-`order` state fold.
+
+    ``state`` (N, S) is the previous block, ``g_ref`` (1, _G_PAD, S) holds the
+    fold operator rows; only the first `order` are nonzero.  Runs on the VPU
+    as `order` masked lane-extractions + broadcast FMAs (vs. a full (S, S)
+    MXU matmul, of which these rows are the only nonzero part).
+    """
+    s = state.shape[1]
+    fold = jnp.zeros_like(state)
+    for m in range(order):
+        coef = jnp.sum(jnp.where(col == s - order + m, state, 0.0), axis=1, keepdims=True)
+        fold = fold + coef * g_ref[0, m, :][None, :]
+    return fold
+
+
+def _make_iir_kernel(t_total: int, order: int):
+    def kernel(x_ref, a_ref, g_ref, y_ref, state_ref):
         tb = pl.program_id(2)
 
         @pl.when(tb == 0)
@@ -47,13 +96,8 @@ def _make_iir_kernel(t_total: int):
         col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + tb * _S
         x = jnp.where(col < t_total, x, 0.0)
         dn = (((1,), (0,)), ((), ()))
-        y = jax.lax.dot_general(
-            x, a_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ) - jax.lax.dot_general(
-            state_ref[:], b_ref[0], dn, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        y = _block_dot(x, a_ref[0], dn) - _tail_fold(state_ref[:], g_ref, order, lane)
         y_ref[0] = y
         state_ref[:] = y
 
@@ -81,18 +125,22 @@ def _block_operators(a_tail: jnp.ndarray, s: int):
 def _iir_pallas_cbt(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x: (C, B, T) float32, a_tail: (C, order) -> y: (C, B, T)."""
     c, b, t = x.shape
+    order = a_tail.shape[1]
     s = _S
     nb = -(-b // _N_BLK)
     tb = -(-t // s)
     a_op, b_op = _block_operators(a_tail.astype(jnp.float32), s)
+    # B has only `order` nonzero rows (p >= S - order); ship just those.
+    g_rows = max(_G_PAD, -(-order // _G_PAD) * _G_PAD)
+    g_op = jnp.pad(b_op[:, s - order :, :], ((0, 0), (0, g_rows - order), (0, 0)))
 
     y = pl.pallas_call(
-        _make_iir_kernel(t),
+        _make_iir_kernel(t, order),
         grid=(c, nb, tb),
         in_specs=[
             pl.BlockSpec((1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_rows, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM
@@ -100,7 +148,7 @@ def _iir_pallas_cbt(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False
         out_shape=jax.ShapeDtypeStruct((c, b, t), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_N_BLK, s), jnp.float32)],
         interpret=interpret,
-    )(x, a_op, b_op)
+    )(x, a_op, g_op)
     return y
 
 
@@ -121,8 +169,8 @@ def iir_pallas(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False) -> 
 # ---------------------------------------------------------------------------
 
 
-def _lfilter_kernel_factory(t_total: int):
-    def kernel(x_ref, a_ref, b_ref, c_ref, y_ref, ystate_ref, xstate_ref):
+def _lfilter_kernel_factory(t_total: int, order_a: int, order_b: int):
+    def kernel(x_ref, a_ref, ga_ref, gb_ref, y_ref, ystate_ref, xstate_ref):
         tb = pl.program_id(2)
 
         @pl.when(tb == 0)
@@ -134,14 +182,10 @@ def _lfilter_kernel_factory(t_total: int):
         col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + tb * _S
         x = jnp.where(col < t_total, x, 0.0)
         dn = (((1,), (0,)), ((), ()))
-        hp = jax.lax.Precision.HIGHEST
-        y = jax.lax.dot_general(x, a_ref[0], dn, precision=hp, preferred_element_type=jnp.float32)
-        y = y - jax.lax.dot_general(
-            ystate_ref[:], b_ref[0], dn, precision=hp, preferred_element_type=jnp.float32
-        )
-        y = y + jax.lax.dot_general(
-            xstate_ref[:], c_ref[0], dn, precision=hp, preferred_element_type=jnp.float32
-        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        y = _block_dot(x, a_ref[0], dn)
+        y = y - _tail_fold(ystate_ref[:], ga_ref, order_a, lane)
+        y = y + _tail_fold(xstate_ref[:], gb_ref, order_b, lane)
         y_ref[0] = y
         ystate_ref[:] = y
         xstate_ref[:] = x
@@ -184,20 +228,29 @@ def _lfilter_block_operators(a_tail: jnp.ndarray, b_norm: jnp.ndarray, s: int):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _lfilter_pallas_cbt(x, a_tail, b_norm, interpret=False):
     c, b, t = x.shape
+    order_a = a_tail.shape[1]
+    order_b = b_norm.shape[1] - 1
     s = _S
     nb = -(-b // _N_BLK)
     tbk = -(-t // s)
     a_op, b_op, c_op = _lfilter_block_operators(
         a_tail.astype(jnp.float32), b_norm.astype(jnp.float32), s
     )
+    # B/C have only order_a / order_b nonzero rows (corner-block W); ship those.
+    ga_rows = max(_G_PAD, -(-max(order_a, 1) // _G_PAD) * _G_PAD)
+    gb_rows = max(_G_PAD, -(-max(order_b, 1) // _G_PAD) * _G_PAD)
+    ga_op = jnp.pad(b_op[:, s - order_a :, :] if order_a else b_op[:, :0, :],
+                    ((0, 0), (0, ga_rows - order_a), (0, 0)))
+    gb_op = jnp.pad(c_op[:, s - order_b :, :] if order_b else c_op[:, :0, :],
+                    ((0, 0), (0, gb_rows - order_b), (0, 0)))
     return pl.pallas_call(
-        _lfilter_kernel_factory(t),
+        _lfilter_kernel_factory(t, order_a, order_b),
         grid=(c, nb, tbk),
         in_specs=[
             pl.BlockSpec((1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ga_rows, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb_rows, s), lambda ci, ni, ti: (ci, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, _N_BLK, s), lambda ci, ni, ti: (ci, ni, ti), memory_space=pltpu.VMEM
@@ -208,7 +261,7 @@ def _lfilter_pallas_cbt(x, a_tail, b_norm, interpret=False):
             pltpu.VMEM((_N_BLK, s), jnp.float32),
         ],
         interpret=interpret,
-    )(x, a_op, b_op, c_op)
+    )(x, a_op, ga_op, gb_op)
 
 
 def lfilter_pallas(x: jnp.ndarray, a_norm: jnp.ndarray, b_norm: jnp.ndarray,

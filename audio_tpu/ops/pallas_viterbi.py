@@ -77,8 +77,12 @@ def _make_kernel(t_max: int, blank: int):
         # Backtrack in reverse 128-frame chunks: Mosaic requires lane-dim
         # stores at 128-aligned offsets, so each chunk's (BB, 128) path tile
         # is assembled with static-lane masked selects and stored once.
+        # The per-frame label and backpointer share ONE masked-max reduction:
+        # packed = label*4 + move (move in {0,1,2}), halving the lane-reduce
+        # work on the serial chain.
         n_chunks = pl.cdiv(t_max, 128)
         tile_col = jax.lax.broadcasted_iota(jnp.int32, (bb, 128), 1)
+        labels4 = labels_ref[:] * 4
 
         def bwd_chunk(ci, ltr):
             base = (n_chunks - 1 - ci) * 128
@@ -88,9 +92,12 @@ def _make_kernel(t_max: int, blank: int):
                 t = base + j
                 valid_t = t < t_max
                 onehot = col == ltr
-                lbl = jnp.max(jnp.where(onehot, labels_ref[:], 0), axis=1, keepdims=True)
                 bp_t = bp_ref[jnp.minimum(t, t_max - 1)].astype(jnp.int32)
-                move = jnp.max(jnp.where(onehot, bp_t, 0), axis=1, keepdims=True)
+                packed = jnp.max(
+                    jnp.where(onehot, labels4 + bp_t, 0), axis=1, keepdims=True
+                )
+                lbl = packed >> 2
+                move = packed & 3
                 active = (t < lengths) & valid_t
                 tile = jnp.where(tile_col == j, jnp.where(active, lbl, blank), tile)
                 ltr = jnp.where(active, ltr - move, ltr)

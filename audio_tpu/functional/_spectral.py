@@ -9,6 +9,7 @@ Griffin-Lim iteration, everything jit/vmap-safe.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Union
 
@@ -24,6 +25,7 @@ __all__ = [
     "griffinlim",
     "amplitude_to_DB",
     "DB_to_amplitude",
+    "mel_spectrogram",
     "phase_vocoder",
     "spectral_centroid",
 ]
@@ -48,6 +50,161 @@ def _use_conv_dft() -> bool:
         return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
     except Exception:
         return False
+
+
+def _use_pallas_spectrogram(n_fft: int, hop: int, power: float) -> bool:
+    """Whether to run the fused Pallas spectrogram kernel.
+
+    Off by default: on v5e the XLA strided-conv DFT measured FASTER in-chain
+    than the fused kernel (north-star bench 25.8k vs 24.7k streams/chip for
+    F.spectrogram, 25.5k for the mel-fused variant), even though the kernel
+    wins when timed standalone (7.3 ms vs 9.4 ms per 4096×1 s batch) —
+    XLA overlaps the conv with neighboring-op DMA in ways the opaque
+    custom-call boundary prevents.  Kept as an env-gated alternative
+    (AUDIO_TPU_PALLAS_SPECTROGRAM=1) for other configs/topologies.
+    """
+    from .._internal.module_utils import eval_env
+    from ..ops.pallas_spectrogram import spectrogram_pallas_supported
+
+    return eval_env("AUDIO_TPU_PALLAS_SPECTROGRAM", False) and spectrogram_pallas_supported(
+        n_fft, hop, power
+    )
+
+
+def _power_spec_ref_tm(x_padded, window, fb, n_fft: int, hop: int, power: float):
+    """Pure-jnp time-major power/mel spectrogram (..., n_frames, bins).
+
+    Reference math for the fused Pallas kernel: also serves as its custom-VJP
+    backward (recompute + XLA autodiff) and as the CPU path of
+    :func:`mel_spectrogram`.
+    """
+    from ._stft import frame_signal
+
+    fr = frame_signal(x_padded, n_fft, hop) * window
+    s = jnp.fft.rfft(fr, n_fft)
+    p = s.real**2 + s.imag**2
+    if fb is not None:
+        p = p @ fb
+    if power == 1.0:
+        p = jnp.sqrt(p)
+    return p
+
+
+def _fused_power_spec(x_padded, window, fb, n_fft: int, hop: int, power: float):
+    """Fused Pallas power/mel spectrogram with autodiff via the jnp reference."""
+    return _fps_runner(n_fft, hop, power, x_padded, window, fb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fps_runner(n_fft, hop, power, x_padded, window, fb):
+    from ..ops.pallas_spectrogram import power_spectrogram_pallas
+
+    return power_spectrogram_pallas(x_padded, window, n_fft, hop, power, fb=fb)
+
+
+def _fps_fwd(n_fft, hop, power, x_padded, window, fb):
+    return _fps_runner(n_fft, hop, power, x_padded, window, fb), (x_padded, window, fb)
+
+
+def _fps_bwd(n_fft, hop, power, res, g):
+    x_padded, window, fb = res
+    _, vjp = jax.vjp(
+        lambda xx, ww, ff: _power_spec_ref_tm(xx, ww, ff, n_fft, hop, power),
+        x_padded, window, fb,
+    )
+    return vjp(g)
+
+
+_fps_runner.defvjp(_fps_fwd, _fps_bwd)
+
+
+def _power_spec_pallas_api(
+    waveform: jnp.ndarray,
+    window: Optional[jnp.ndarray],
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool,
+    pad_mode: str,
+    power: float,
+    frame_length_norm: bool,
+) -> jnp.ndarray:
+    """Fused-kernel path of :func:`spectrogram`; returns (..., freq, time)."""
+    from ._stft import _pad_center, _prepare_window
+
+    window = _prepare_window(window, n_fft, win_length, jnp.float32)
+    if center:
+        waveform = _pad_center(waveform, n_fft // 2, pad_mode)
+    lead = waveform.shape[:-1]
+    x = waveform.reshape(-1, waveform.shape[-1]).astype(jnp.float32)
+    p = _fused_power_spec(x, window, None, n_fft, hop_length, float(power))
+    if frame_length_norm:
+        p = p * (float(n_fft) ** (-power / 2.0))
+    p = jnp.swapaxes(p, -1, -2)
+    return p.reshape(lead + p.shape[1:]).astype(waveform.dtype)
+
+
+def mel_spectrogram(
+    waveform: jnp.ndarray,
+    fb: jnp.ndarray,
+    window: Optional[jnp.ndarray] = None,
+    n_fft: int = 400,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    power: float = 2.0,
+    normalized: Union[bool, str] = False,
+    time_major: bool = False,
+) -> jnp.ndarray:
+    """Mel power spectrogram in one call (TPU-native convenience op).
+
+    Extension of the reference's ``MelSpectrogram`` transform chain
+    (/root/reference/src/torchaudio/transforms/_transforms.py:612-622, which
+    composes Spectrogram → MelScale).  On TPU this runs the strided-conv DFT
+    (implicit GEMM, no frame materialization) into the mel matmul; with
+    ``AUDIO_TPU_PALLAS_SPECTROGRAM=1`` the whole chain (framing, windowed
+    DFT, power, mel GEMM) runs in one fused Pallas kernel instead.  ``fb``
+    is the (n_freq, n_mels) filterbank from :func:`melscale_fbanks`.
+
+    Returns (..., n_mels, time), or (..., time, n_mels) when ``time_major``
+    (the compute-native layout, free of the final transpose).
+    """
+    from ._stft import _pad_center, _prepare_window
+
+    hop_length = hop_length or n_fft // 2
+    win_length = win_length or n_fft
+    if power != 2.0:
+        raise ValueError("mel fusion requires power=2.0")
+    frame_length_norm, window_norm = _get_spec_norms(normalized)
+    if center:
+        waveform = _pad_center(waveform, n_fft // 2, pad_mode)
+    lead = waveform.shape[:-1]
+    x = waveform.reshape(-1, waveform.shape[-1])
+    if _use_pallas_spectrogram(n_fft, hop_length, 2.0):
+        window_p = _prepare_window(window, n_fft, win_length, jnp.float32)
+        p = _fused_power_spec(
+            x.astype(jnp.float32), window_p, fb, n_fft, hop_length, 2.0
+        )
+        window_p = window_p.astype(waveform.dtype)
+    elif _use_conv_dft():
+        # Strided-conv DFT (implicit GEMM, no frame materialization) + mel
+        # matmul — the fastest measured TPU path; see _use_pallas_spectrogram.
+        window_p = _prepare_window(window, n_fft, win_length, waveform.dtype)
+        p_ft = _power_spec_conv(
+            x, window, n_fft, hop_length, win_length, False, pad_mode, 2.0, False
+        )
+        p = jnp.einsum("bft,fm->btm", p_ft, fb.astype(p_ft.dtype))
+    else:
+        window_p = _prepare_window(window, n_fft, win_length, waveform.dtype)
+        p = _power_spec_ref_tm(x, window_p, fb, n_fft, hop_length, 2.0)
+    if frame_length_norm:
+        p = p / n_fft
+    if window_norm:
+        p = p / jnp.sum(window_p * window_p)
+    if not time_major:
+        p = jnp.swapaxes(p, -1, -2)
+    return p.reshape(lead + p.shape[1:]).astype(waveform.dtype)
 
 
 def _power_spec_conv(
@@ -119,10 +276,16 @@ def spectrogram(
         waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(pad, pad)])
     frame_length_norm, window_norm = _get_spec_norms(normalized)
     if power is not None and onesided and _use_conv_dft():
-        spec = _power_spec_conv(
-            waveform, window, n_fft, hop_length, win_length, center, pad_mode,
-            power, frame_length_norm,
-        )
+        if _use_pallas_spectrogram(n_fft, hop_length, float(power)):
+            spec = _power_spec_pallas_api(
+                waveform, window, n_fft, hop_length, win_length, center,
+                pad_mode, float(power), frame_length_norm,
+            )
+        else:
+            spec = _power_spec_conv(
+                waveform, window, n_fft, hop_length, win_length, center, pad_mode,
+                power, frame_length_norm,
+            )
         if window_norm:
             w = window if window is not None else jnp.ones((win_length,), waveform.dtype)
             spec = spec / jnp.sum(w * w) ** (power / 2.0)

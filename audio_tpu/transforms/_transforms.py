@@ -309,6 +309,25 @@ class MelSpectrogram(_Transform):
         )
 
     def forward(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        # Fused TPU path: framing + DFT + power + mel in one Pallas pass
+        # (F.mel_spectrogram falls back to the composed path off-TPU).
+        if self.power == 2.0:
+            spec = self.spectrogram
+            x = waveform
+            if spec.pad > 0:
+                x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(spec.pad, spec.pad)])
+            return F.mel_spectrogram(
+                x,
+                fb=self.mel_scale.fb,
+                window=spec.window,
+                n_fft=self.n_fft,
+                hop_length=self.hop_length,
+                win_length=self.win_length,
+                center=spec.center,
+                pad_mode=spec.pad_mode,
+                power=2.0,
+                normalized=self.normalized,
+            )
         return self.mel_scale(self.spectrogram(waveform))
 
 

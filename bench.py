@@ -42,10 +42,12 @@ def main():
     @jax.jit
     def chain(wav, targets):
         filtered = F.lowpass_biquad(wav, SR, 4000.0)
-        spec = F.spectrogram(
-            filtered, window=window, n_fft=400, hop_length=160, win_length=400, power=2.0, normalized=False
+        # Fused Pallas spectrogram+mel (framing, windowed DFT, |.|^2 and the
+        # mel filterbank GEMM in one kernel, kernel-native time-major layout).
+        mel = F.mel_spectrogram(
+            filtered, fb=fb, window=window, n_fft=400, hop_length=160,
+            win_length=400, power=2.0, normalized=False, time_major=True,
         )
-        mel = jnp.einsum("bft,fm->btm", spec, fb)
         emissions = jax.nn.log_softmax(
             jnp.einsum("btm,mv->btv", jnp.log1p(mel), proj), axis=-1
         )

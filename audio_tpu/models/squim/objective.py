@@ -30,8 +30,9 @@ PESQ_RANGE: Tuple[float, float] = (1.0, transform_wb_pesq_range(4.5))
 class _PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
-        a = self.param("alpha", lambda *_: jnp.asarray(0.25), ())
-        return jnp.where(x >= 0, x, a * x)
+        # dtype pinned so fresh init matches x even under jax_enable_x64
+        a = self.param("alpha", lambda *_: jnp.asarray(0.25, jnp.float32), ())
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 class _BiLSTM(nn.Module):
@@ -63,8 +64,11 @@ class _BiLSTM(nn.Module):
         d = x.shape[-1]
         shapes = [("w_ih_f", (d, 4 * self.hidden)), ("w_hh_f", (self.hidden, 4 * self.hidden)),
                   ("w_ih_b", (d, 4 * self.hidden)), ("w_hh_b", (self.hidden, 4 * self.hidden))]
-        p = {name: self.param(name, nn.initializers.lecun_normal(), shp) for name, shp in shapes}
-        b = {name: self.param(name, nn.initializers.zeros, (4 * self.hidden,))
+        # explicit f32 param dtype: default initializers follow jnp.float_,
+        # which is float64 under jax_enable_x64 and breaks the scan carry
+        p = {name: self.param(name, nn.initializers.lecun_normal(), shp, jnp.float32)
+             for name, shp in shapes}
+        b = {name: self.param(name, nn.initializers.zeros, (4 * self.hidden,), jnp.float32)
              for name in ("b_ih_f", "b_hh_f", "b_ih_b", "b_hh_b")}
         fwd = self._run(x, p["w_ih_f"], p["w_hh_f"], b["b_ih_f"], b["b_hh_f"], False)
         bwd = self._run(x, p["w_ih_b"], p["w_hh_b"], b["b_ih_b"], b["b_hh_b"], True)

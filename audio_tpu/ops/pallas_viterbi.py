@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["viterbi_pallas_core"]
 
 _NEG_INF = -1e30
-_BB = 64  # batch rows per grid step
+_BB = 96  # batch rows per grid step (VMEM-capped by the 2x double-buffered (BB,T,S) f32 emits block + int8 bp cube; 64->96 measured 5.52->5.02 ms on the 4096x101x101 bench shape)
 
 
 def _shift_right(x, k, fill):

@@ -53,6 +53,26 @@ def _golden(op, idx, width):
     )
 
 
+def test_sliding_window_cmn_vs_kaldi():
+    """Functional counterpart: apply-cmvn-sliding golden
+    (functional/kaldi_compatibility_test_impl.py:12-26)."""
+    import audio_tpu.functional as F
+
+    torch.manual_seed(0)
+    tensor = torch.randn(40, 10, dtype=torch.float64)
+    result = F.sliding_window_cmn(
+        jnp.asarray(tensor.numpy()), cmn_window=600, min_cmn_window=100,
+        center=False, norm_vars=False,
+    )
+    gold = (
+        _ASSETS / "kaldi_expected_results" / "test" / "torchaudio_unittest"
+        / "functional"
+        / "kaldi_compatibility_test.py__TestKaldiFloat64__test_sliding_window_cmn.pt"
+    )
+    expected = np.asarray(torch.load(gold, weights_only=False))
+    np.testing.assert_allclose(np.asarray(result), expected, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("idx", range(len(_SPECTROGRAM)))
 def test_spectrogram_vs_kaldi(idx):
     result = kaldi.spectrogram(_waveform(), **_SPECTROGRAM[idx])

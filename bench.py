@@ -25,7 +25,7 @@ def main():
     import audio_tpu.functional as F
     from audio_tpu._internal.windows import hann_window
 
-    B = 4096  # concurrent streams
+    B = 8192  # concurrent streams (4096 -> 8192 measured +6%: 27.3k -> 28.9k)
     SR = 16000
     D = 1.0  # seconds per chunk
     T = int(SR * D)

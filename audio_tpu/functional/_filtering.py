@@ -121,7 +121,8 @@ def lfilter(
         x.ndim == 3
         and x.dtype == jnp.float32
         and x.shape[-1] > 256
-        and a_norm.shape[-1] > 1
+        and 1 < a_norm.shape[-1] <= 129  # blocked kernel assumes order <= _S=128
+        and b_norm.shape[-1] <= 129
         and _use_pallas()
     ):
         # TPU: numerator + recurrence fused into one pallas kernel pass

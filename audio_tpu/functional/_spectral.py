@@ -66,8 +66,10 @@ def _use_pallas_spectrogram(n_fft: int, hop: int, power: float) -> bool:
     from .._internal.module_utils import eval_env
     from ..ops.pallas_spectrogram import spectrogram_pallas_supported
 
-    return eval_env("AUDIO_TPU_PALLAS_SPECTROGRAM", False) and spectrogram_pallas_supported(
-        n_fft, hop, power
+    return (
+        _use_conv_dft()  # TPU backend only — Mosaic won't lower elsewhere
+        and eval_env("AUDIO_TPU_PALLAS_SPECTROGRAM", False)
+        and spectrogram_pallas_supported(n_fft, hop, power)
     )
 
 
@@ -80,7 +82,9 @@ def _power_spec_ref_tm(x_padded, window, fb, n_fft: int, hop: int, power: float)
     """
     from ._stft import frame_signal
 
-    fr = frame_signal(x_padded, n_fft, hop) * window
+    if x_padded.dtype not in (jnp.float32, jnp.float64):
+        x_padded = x_padded.astype(jnp.float32)  # rfft needs f32/f64
+    fr = frame_signal(x_padded, n_fft, hop) * window.astype(x_padded.dtype)
     s = jnp.fft.rfft(fr, n_fft)
     p = s.real**2 + s.imag**2
     if fb is not None:
@@ -194,7 +198,7 @@ def mel_spectrogram(
         p_ft = _power_spec_conv(
             x, window, n_fft, hop_length, win_length, False, pad_mode, 2.0, False
         )
-        p = jnp.einsum("bft,fm->btm", p_ft, fb.astype(p_ft.dtype))
+        p = jnp.einsum("bft,fm->btm", p_ft, fb)
     else:
         window_p = _prepare_window(window, n_fft, win_length, waveform.dtype)
         p = _power_spec_ref_tm(x, window_p, fb, n_fft, hop_length, 2.0)
@@ -204,7 +208,12 @@ def mel_spectrogram(
         p = p / jnp.sum(window_p * window_p)
     if not time_major:
         p = jnp.swapaxes(p, -1, -2)
-    return p.reshape(lead + p.shape[1:]).astype(waveform.dtype)
+    # dtype follows the composed Spectrogram -> MelScale chain: the mel
+    # matmul promotes (e.g. bf16 waveform x f32 filterbank -> f32 output),
+    # and the filterbank is never quantized down to the waveform dtype.
+    return p.reshape(lead + p.shape[1:]).astype(
+        jnp.result_type(waveform.dtype, fb.dtype)
+    )
 
 
 def _power_spec_conv(

@@ -150,7 +150,7 @@ def _iir_fwd_impl(x: jnp.ndarray, a_norm: jnp.ndarray, block_size: int) -> jnp.n
         return x
     if x.shape[-1] <= _SCAN_CUTOFF:
         return iir_scan(x, a_tail)
-    if x.ndim == 3 and x.dtype == jnp.float32 and _use_pallas():
+    if x.ndim == 3 and x.dtype == jnp.float32 and a_tail.shape[-1] <= 128 and _use_pallas():
         from .pallas_iir import iir_pallas
 
         return iir_pallas(x, a_tail)

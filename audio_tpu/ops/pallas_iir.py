@@ -55,15 +55,11 @@ def _block_dot(x, a, dn):
             x, a, dn, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    from ._precision import dot3_bf16, split_bf16
 
-    def d(p, q):
-        return jax.lax.dot_general(p, q, dn, preferred_element_type=jnp.float32)
-
-    return d(xh, ah) + (d(xh, al) + d(xl, ah))
+    xh, xl = split_bf16(x)
+    ah, al = split_bf16(a)
+    return dot3_bf16(xh, xl, ah, al, dn)
 
 
 def _tail_fold(state, g_ref, order: int, col):

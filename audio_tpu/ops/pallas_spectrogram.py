@@ -66,20 +66,8 @@ def spectrogram_pallas_supported(n_fft: int, hop: int, power) -> bool:
     return fc <= 64  # VMEM budget: frames scratch (NB, FC, KP) f32
 
 
-def _split_bf16(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _dot3(xh, xl, ah, al):
-    """~f32-faithful (HIGH-precision) matmul from bf16 hi/lo splits."""
-    dn = (((1,), (0,)), ((), ()))
-
-    def d(p, q):
-        return jax.lax.dot_general(p, q, dn, preferred_element_type=jnp.float32)
-
-    return d(xh, ah) + (d(xh, al) + d(xl, ah))
+from ._precision import dot3_bf16 as _dot3
+from ._precision import split_bf16 as _split_bf16
 
 
 def _make_kernel(n_fft: int, hop: int, fc: int, kp: int, bpad: int,
@@ -92,12 +80,13 @@ def _make_kernel(n_fft: int, hop: int, fc: int, kp: int, bpad: int,
         # Build FC overlapping frames from the two adjacent hop-chunks with
         # STATIC lane slices (cell-local frame ti starts at ti*hop).
         for ti in range(fc):
+            # a frame always STARTS in the lo chunk (start = ti*hop < fc*hop
+            # = chunk) and ends at most one chunk later (_frames_per_cell
+            # guarantees (fc-1)*hop + n_fft <= 2*chunk)
             start = ti * hop
             end = start + n_fft
             if end <= chunk:
                 frame = xlo_ref[:, start:end]
-            elif start >= chunk:
-                frame = xhi_ref[:, start - chunk:end - chunk]
             else:
                 frame = jnp.concatenate(
                     [xlo_ref[:, start:chunk], xhi_ref[:, :end - chunk]], axis=1

@@ -199,3 +199,37 @@ def test_power_spec_conv_matches_rfft_path():
         # bins; bound the error relative to the spectrum scale
         ref_np, got_np = np.asarray(ref), np.asarray(got)
         assert np.abs(got_np - ref_np).max() <= 5e-5 * ref_np.max() + 1e-3
+
+
+def test_mel_spectrogram_dtype_promotion():
+    """bf16 waveform x f32 filterbank must promote to f32 (the composed
+    Spectrogram -> MelScale chain's behavior), not quantize the filterbank."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32) * 0.3)
+    fb = F.melscale_fbanks(201, 0.0, 8000.0, 40, 16000)
+    w = hann_window(400)
+    out_bf16 = F.mel_spectrogram(x32.astype(jnp.bfloat16), fb=fb, window=w)
+    assert out_bf16.dtype == jnp.float32
+    out_f32 = F.mel_spectrogram(x32, fb=fb, window=w)
+    # bf16 input costs ~2^-8 relative; the filterbank must stay full precision
+    np.testing.assert_allclose(
+        np.asarray(out_bf16), np.asarray(out_f32), rtol=0,
+        atol=2e-2 * float(jnp.max(out_f32)),
+    )
+
+
+def test_pallas_spectrogram_env_gate_requires_tpu(monkeypatch):
+    """AUDIO_TPU_PALLAS_SPECTROGRAM=1 must be a no-op off-TPU (the Mosaic
+    kernel cannot lower on the CPU backend)."""
+    import numpy as np
+
+    from audio_tpu.functional._spectral import _use_pallas_spectrogram
+
+    monkeypatch.setenv("AUDIO_TPU_PALLAS_SPECTROGRAM", "1")
+    assert not _use_pallas_spectrogram(400, 160, 2.0)  # CPU backend in tests
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2000)).astype(np.float32))
+    fb = F.melscale_fbanks(201, 0.0, 8000.0, 40, 16000)
+    out = F.mel_spectrogram(x, fb=fb, window=hann_window(400))
+    assert bool(jnp.isfinite(out).all())

@@ -277,8 +277,19 @@ def spectrogram(
     center: bool = True,
     pad_mode: str = "reflect",
     onesided: bool = True,
+    return_complex: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Magnitude/power or complex spectrogram of shape (..., freq, time)."""
+    if return_complex is not None:
+        import warnings
+
+        # deprecated no-op kwarg, kept for reference signature parity
+        # (functional.py:105-111): power=None always returns complex
+        warnings.warn(
+            "`return_complex` argument is now deprecated and is not effective."
+            "`audio_tpu.functional.spectrogram(power=None)` always returns a tensor with "
+            "complex dtype. Please remove the argument in the function call."
+        )
     hop_length = hop_length or n_fft // 2
     win_length = win_length or n_fft
     if pad > 0:

@@ -76,7 +76,17 @@ class Spectrogram(_Transform):
         center: bool = True,
         pad_mode: str = "reflect",
         onesided: bool = True,
+        return_complex: Optional[bool] = None,
     ) -> None:
+        if return_complex is not None:
+            import warnings
+
+            # deprecated no-op kwarg, kept for reference signature parity
+            # (_transforms.py:94-100)
+            warnings.warn(
+                "`return_complex` argument is now deprecated and is not effective."
+                "`power=None` always returns a tensor with complex dtype."
+            )
         self.n_fft = n_fft
         self.win_length = win_length if win_length is not None else n_fft
         self.hop_length = hop_length if hop_length is not None else self.win_length // 2

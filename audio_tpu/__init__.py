@@ -6,7 +6,7 @@ decoding, the model zoo, pipelines, and datasets — designed TPU-first.
 See SURVEY.md at the repo root for the blueprint.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from . import compliance  # noqa: F401
 from . import datasets  # noqa: F401

@@ -205,7 +205,10 @@ def mel_spectrogram(
     if frame_length_norm:
         p = p / n_fft
     if window_norm:
-        p = p / jnp.sum(window_p * window_p)
+        # sum in f32 regardless of waveform dtype: the composed
+        # Spectrogram->MelScale path normalizes by the user's (f32) window,
+        # and a bf16 sum here would diverge from it by ~1%
+        p = p / jnp.sum(window_p.astype(jnp.float32) * window_p.astype(jnp.float32))
     if not time_major:
         p = jnp.swapaxes(p, -1, -2)
     # dtype follows the composed Spectrogram -> MelScale chain: the mel

@@ -2,9 +2,13 @@
 
 API parity with the reference's ``torchaudio.load_with_torchcodec`` /
 ``save_with_torchcodec`` (/root/reference/src/torchaudio/_torchcodec.py:9-340):
-same signatures, same ignored-parameter warnings.  In audio_tpu they delegate
+same signatures, same warnings for ``normalize``/``buffer_size``/``backend``.
+Intentional divergence: the reference ALSO ignores (and warns on) ``format``
+in load and ``format``/``encoding``/``bits_per_sample`` in save because
+torchcodec cannot honor them; audio_tpu's own codecs CAN, so these parameters
+are honored here and no warning is emitted.  In audio_tpu the shims delegate
 to :func:`audio_tpu.load` / :func:`audio_tpu.save` — the built-in codecs plus
-the ffmpeg-CLI fallback play torchcodec's role here.
+the ffmpeg-CLI fallback play torchcodec's role.
 """
 
 from __future__ import annotations

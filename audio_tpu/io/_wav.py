@@ -96,6 +96,20 @@ def info(uri: Union[BinaryIO, str, os.PathLike], format: Optional[str] = None,
             return AudioMetaData(
                 m["sample_rate"], m["num_frames"], m["num_channels"], m["bits_per_sample"], m["encoding"]
             )
+        try:
+            import soundfile as sf
+
+            si = sf.info(io.BytesIO(data))
+            return AudioMetaData(
+                int(si.samplerate), int(si.frames), int(si.channels), 0, si.format
+            )
+        except ImportError as err:
+            # same message load() raises for the same input, not a
+            # misleading "Malformed WAV" from the RIFF parser below
+            raise ValueError(
+                "Built-in codecs handle WAV/FLAC/SPHERE/AU; install an ffmpeg "
+                "binary or the soundfile package for other formats"
+            ) from err
     fmt, frames = _parse_wav(data)
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_PCM:

@@ -62,6 +62,13 @@ def _block_dot(x, a, dn):
     return dot3_bf16(xh, xl, ah, al, dn)
 
 
+# Rank-`order` VPU fold wins over the (S, S) MXU matmul only while the
+# unroll stays small; past this the unrolled masked reductions both compile
+# slowly (CLAUDE.md: minutes for big unrolled kernels) and lose to one
+# matmul.  Biquad cascades (order <= 4) stay on the fast fold path.
+_FOLD_MAX_ORDER = 8
+
+
 def _tail_fold(state, g_ref, order: int, col):
     """sum_m state[:, S-order+m] * G[m, :] — the rank-`order` state fold.
 
@@ -76,6 +83,27 @@ def _tail_fold(state, g_ref, order: int, col):
         coef = jnp.sum(jnp.where(col == s - order + m, state, 0.0), axis=1, keepdims=True)
         fold = fold + coef * g_ref[0, m, :][None, :]
     return fold
+
+
+def _state_fold(state, g_ref, order: int, col):
+    """Previous-block state fold: VPU rank-`order` fold for small orders,
+    one full (S, S) MXU matmul for large ones (g_ref then holds the full
+    fold operator, not just its nonzero rows)."""
+    if order <= _FOLD_MAX_ORDER:
+        return _tail_fold(state, g_ref, order, col)
+    dn = (((1,), (0,)), ((), ()))
+    return _block_dot(state, g_ref[0], dn)
+
+
+def _fold_operator(full_op: jnp.ndarray, order: int, s: int):
+    """(operator-to-ship, rows) for `_state_fold`: the `order` nonzero rows
+    (padded to a sublane multiple) when the fold path applies, else the full
+    (S, S) operator."""
+    if order <= _FOLD_MAX_ORDER:
+        rows = max(_G_PAD, -(-max(order, 1) // _G_PAD) * _G_PAD)
+        trimmed = full_op[:, s - order:, :] if order else full_op[:, :0, :]
+        return jnp.pad(trimmed, ((0, 0), (0, rows - order), (0, 0))), rows
+    return full_op, s
 
 
 def _make_iir_kernel(t_total: int, order: int):
@@ -93,7 +121,7 @@ def _make_iir_kernel(t_total: int, order: int):
         x = jnp.where(col < t_total, x, 0.0)
         dn = (((1,), (0,)), ((), ()))
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        y = _block_dot(x, a_ref[0], dn) - _tail_fold(state_ref[:], g_ref, order, lane)
+        y = _block_dot(x, a_ref[0], dn) - _state_fold(state_ref[:], g_ref, order, lane)
         y_ref[0] = y
         state_ref[:] = y
 
@@ -126,9 +154,9 @@ def _iir_pallas_cbt(x: jnp.ndarray, a_tail: jnp.ndarray, interpret: bool = False
     nb = -(-b // _N_BLK)
     tb = -(-t // s)
     a_op, b_op = _block_operators(a_tail.astype(jnp.float32), s)
-    # B has only `order` nonzero rows (p >= S - order); ship just those.
-    g_rows = max(_G_PAD, -(-order // _G_PAD) * _G_PAD)
-    g_op = jnp.pad(b_op[:, s - order :, :], ((0, 0), (0, g_rows - order), (0, 0)))
+    # B has only `order` nonzero rows (p >= S - order); ship just those when
+    # the VPU fold applies, the full operator for the matmul fold otherwise.
+    g_op, g_rows = _fold_operator(b_op, order, s)
 
     y = pl.pallas_call(
         _make_iir_kernel(t, order),
@@ -180,8 +208,8 @@ def _lfilter_kernel_factory(t_total: int, order_a: int, order_b: int):
         dn = (((1,), (0,)), ((), ()))
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         y = _block_dot(x, a_ref[0], dn)
-        y = y - _tail_fold(ystate_ref[:], ga_ref, order_a, lane)
-        y = y + _tail_fold(xstate_ref[:], gb_ref, order_b, lane)
+        y = y - _state_fold(ystate_ref[:], ga_ref, order_a, lane)
+        y = y + _state_fold(xstate_ref[:], gb_ref, order_b, lane)
         y_ref[0] = y
         ystate_ref[:] = y
         xstate_ref[:] = x
@@ -232,13 +260,10 @@ def _lfilter_pallas_cbt(x, a_tail, b_norm, interpret=False):
     a_op, b_op, c_op = _lfilter_block_operators(
         a_tail.astype(jnp.float32), b_norm.astype(jnp.float32), s
     )
-    # B/C have only order_a / order_b nonzero rows (corner-block W); ship those.
-    ga_rows = max(_G_PAD, -(-max(order_a, 1) // _G_PAD) * _G_PAD)
-    gb_rows = max(_G_PAD, -(-max(order_b, 1) // _G_PAD) * _G_PAD)
-    ga_op = jnp.pad(b_op[:, s - order_a :, :] if order_a else b_op[:, :0, :],
-                    ((0, 0), (0, ga_rows - order_a), (0, 0)))
-    gb_op = jnp.pad(c_op[:, s - order_b :, :] if order_b else c_op[:, :0, :],
-                    ((0, 0), (0, gb_rows - order_b), (0, 0)))
+    # B/C have only order_a / order_b nonzero rows (corner-block W); ship
+    # those for the VPU fold, or the full operators for the matmul fold.
+    ga_op, ga_rows = _fold_operator(b_op, order_a, s)
+    gb_op, gb_rows = _fold_operator(c_op, order_b, s)
     return pl.pallas_call(
         _lfilter_kernel_factory(t, order_a, order_b),
         grid=(c, nb, tbk),

@@ -57,13 +57,32 @@ def _frames_per_cell(n_fft: int, hop: int) -> int:
     return fc
 
 
+# Leave headroom under the ~16 MiB/core VMEM the kernel competes for
+# (docs/performance.md): Mosaic needs space for double-buffered block windows
+# plus compiler temporaries.
+_VMEM_BUDGET = 12 * 2**20
+
+
+def _vmem_bytes(n_fft: int, hop: int) -> int:
+    """Upper-bound VMEM estimate for one grid cell of the kernel."""
+    fc = _frames_per_cell(n_fft, hop)
+    chunk = fc * hop
+    kp = _ceil_to(n_fft, _LANE)
+    bpad = _ceil_to(n_fft // 2 + 1, _LANE)
+    out_bins = bpad  # >= mel mpad for every fusable filterbank
+    scratch = _NB * fc * kp * 4                    # frames f32
+    dft = 2 * (kp * 2 * bpad * 2)                  # dh + dl bf16 (grid-constant)
+    inputs = 2 * (2 * _NB * chunk * 4)             # xlo + xhi, double-buffered
+    output = 2 * (_NB * fc * out_bins * 4)         # out block, double-buffered
+    return scratch + dft + inputs + output
+
+
 def spectrogram_pallas_supported(n_fft: int, hop: int, power) -> bool:
     if power not in (1.0, 2.0):
         return False
     if n_fft > 2048 or hop < 32 or hop > n_fft:
         return False
-    fc = _frames_per_cell(n_fft, hop)
-    return fc <= 64  # VMEM budget: frames scratch (NB, FC, KP) f32
+    return _vmem_bytes(n_fft, hop) <= _VMEM_BUDGET
 
 
 from ._precision import dot3_bf16 as _dot3

@@ -236,8 +236,13 @@ class InverseMelScale(_Transform):
     """Least-squares inversion of the mel filterbank (non-negative).
 
     The reference solves the same problem with ``torch.linalg.lstsq``
-    (_transforms.py:455-505); XLA has no lstsq with driver choice, so we use
-    the normal-equations pseudo-inverse, which matches within tolerance.
+    (_transforms.py:455-505).  ``driver`` is honored with the same solver
+    split as LAPACK: ``"gels"`` assumes the filterbank is full row rank and
+    solves via the normal equations (like LAPACK's QR path — and like it,
+    produces garbage for rank-deficient banks); the rank-revealing drivers
+    ``"gelsy"/"gelsd"/"gelss"`` use the SVD pseudo-inverse (minimum-norm
+    solution).  For the full-rank banks mel inversion uses in practice the
+    two agree within f32 tolerance.
     """
 
     def __init__(
@@ -255,12 +260,33 @@ class InverseMelScale(_Transform):
         self.sample_rate = sample_rate
         self.f_max = f_max or float(sample_rate // 2)
         self.f_min = f_min
+        self.driver = driver
         if f_min > self.f_max:
             raise ValueError(f"Require f_min: {f_min} <= f_max: {self.f_max}")
         if driver not in ("gels", "gelsy", "gelsd", "gelss"):
             raise ValueError(f'driver must be one of ["gels", "gelsy", "gelsd", "gelss"]. Found {driver}.')
         self.fb = F.melscale_fbanks(n_stft, self.f_min, self.f_max, self.n_mels, self.sample_rate, norm, mel_scale)
-        self.fb_pinv = jnp.linalg.pinv(self.fb.T)  # (n_mels, freq) pseudo-inverse
+        a = self.fb.T  # (n_mels, freq): solve a @ spec = mel per time column
+        if driver == "gels":
+            # full-rank minimum-norm solution x = Q R^-T b with a.T = QR —
+            # the LQ path LAPACK gels takes for wide systems.  Like
+            # torch.linalg.lstsq(driver="gels"), rank-deficient banks are an
+            # error (torch: "input matrix does not have full rank"); here it
+            # surfaces at construction rather than first forward.
+            q, r = jnp.linalg.qr(a.T)  # (freq, n_mels), (n_mels, n_mels)
+            diag = jnp.abs(jnp.diagonal(r))
+            if float(diag.min()) <= 1e-7 * float(diag.max()):
+                raise RuntimeError(
+                    "InverseMelScale(driver='gels'): the mel filterbank does "
+                    "not have full rank; use a rank-revealing driver "
+                    "('gelsd'/'gelss'/'gelsy')"
+                )
+            rinvt = jax.scipy.linalg.solve_triangular(
+                r, jnp.eye(r.shape[0], dtype=r.dtype), trans=1
+            )
+            self.fb_pinv = q @ rinvt  # (freq, n_mels)
+        else:
+            self.fb_pinv = jnp.linalg.pinv(a)  # rank-revealing SVD, (freq, n_mels)
 
     def forward(self, melspec: jnp.ndarray) -> jnp.ndarray:
         if melspec.shape[-2] != self.n_mels:

@@ -11,7 +11,9 @@ from audio_tpu.ops.pallas_iir import iir_pallas
 
 @pytest.mark.parametrize(
     "b,c,t,order",
-    [(4, 2, 300, 2), (3, 1, 1000, 4), (2, 3, 129, 1), (1, 1, 500, 6)],
+    # order 16 exercises the matmul state fold (> _FOLD_MAX_ORDER), the rest
+    # the rank-`order` VPU fold
+    [(4, 2, 300, 2), (3, 1, 1000, 4), (2, 3, 129, 1), (1, 1, 500, 6), (2, 1, 400, 16)],
 )
 def test_matches_scan(b, c, t, order):
     rng = np.random.default_rng(order)

@@ -63,13 +63,35 @@ class TestSpectrogramTransforms:
         x = jnp.asarray(get_whitenoise(duration=0.25))
         spec = T.Spectrogram(n_fft=400, hop_length=160)(x)
         melscale = T.MelScale(n_mels=64, sample_rate=16000, n_stft=201)
-        inv = T.InverseMelScale(n_stft=201, n_mels=64, sample_rate=16000)
+        # the 201/64 bank is rank-deficient: gels (the default, like torch's
+        # lstsq driver) refuses it, the rank-revealing drivers handle it
+        inv = T.InverseMelScale(n_stft=201, n_mels=64, sample_rate=16000, driver="gelsd")
         mel = melscale(spec)
         rec = inv(mel)
         # reconstruction through the mel bottleneck keeps mel-domain energy
         mel2 = melscale(rec)
         err = float(jnp.linalg.norm(mel - mel2) / jnp.linalg.norm(mel))
         assert err < 0.05, err
+
+    def test_inverse_melscale_driver_semantics(self):
+        import numpy as np
+        import pytest
+
+        # rank-deficient bank: gels raises (torch.linalg.lstsq parity),
+        # rank-revealing drivers solve via SVD
+        with pytest.raises(RuntimeError, match="full rank"):
+            T.InverseMelScale(n_stft=201, n_mels=64, sample_rate=16000, driver="gels")
+        # full-rank bank: gels (QR) and gelsd (SVD) agree
+        rng = np.random.default_rng(0)
+        spec0 = jnp.asarray(np.abs(rng.standard_normal((2, 201, 12))).astype(np.float32))
+        fb = T.MelScale(n_mels=40, sample_rate=16000, n_stft=201)
+        mel = fb(spec0)
+        a = T.InverseMelScale(201, 40, driver="gels")(mel)
+        b = T.InverseMelScale(201, 40, driver="gelsd")(mel)
+        assert bool(jnp.isfinite(a).all())
+        assert float(jnp.abs(a - b).max()) < 1e-4
+        with pytest.raises(ValueError, match="driver must be one of"):
+            T.InverseMelScale(201, 40, driver="qr")
 
     def test_griffinlim_transform(self):
         x = jnp.asarray(get_sinusoid(frequency=440, duration=0.3))

@@ -7,7 +7,15 @@ on ``jax.sharding`` + ``jit`` so XLA inserts ICI/DCN collectives.
 """
 
 from .mesh import create_mesh, default_mesh, host_chip_mesh, init_distributed
-from .sharding import batch_sharding, replicate, shard_wav2vec2_params, wav2vec2_rules
+from .sharding import (
+    batch_sharding,
+    lattice_spec,
+    replicate,
+    rnnt_rules,
+    shard_rnnt_params,
+    shard_wav2vec2_params,
+    wav2vec2_rules,
+)
 
 __all__ = [
     "batch_sharding",
@@ -15,7 +23,10 @@ __all__ = [
     "default_mesh",
     "host_chip_mesh",
     "init_distributed",
+    "lattice_spec",
     "replicate",
+    "rnnt_rules",
+    "shard_rnnt_params",
     "shard_wav2vec2_params",
     "wav2vec2_rules",
 ]

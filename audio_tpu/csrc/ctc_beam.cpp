@@ -9,7 +9,8 @@
 // Python CTCDecoder in _ctc_decoder.py exactly (same merge keys, pruning
 // rules, and backtracking), which the parity tests assert.
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC ctc_beam.cpp -o libctc_beam.so
+// Build (with the native n-gram LM):
+//   g++ -O3 -std=c++17 -shared -fPIC ctc_beam.cpp ngram_lm.cpp -o libctc_beam.so
 
 #include <algorithm>
 #include <cmath>
@@ -21,11 +22,15 @@
 
 extern "C" {
 
-// LM callback protocol (Python side keeps the state registry):
-//   score(state_id, usr_idx, &out_score) -> new_state_id
-//   finish(state_id, &out_score)         -> new_state_id
-typedef uint64_t (*lm_score_fn)(uint64_t, int32_t, double*);
-typedef uint64_t (*lm_finish_fn)(uint64_t, double*);
+// LM callback protocol:
+//   score(ctx, state_id, usr_idx, &out_score) -> new_state_id
+//   finish(ctx, state_id, &out_score)         -> new_state_id
+// `ctx` is an opaque pointer: null for Python-callback LMs (the Python side
+// keeps the state registry), or the native ngram_lm handle (ngram_lm.cpp's
+// ngram_lm_score / ngram_lm_finish match these signatures exactly, so the
+// beam search scores with no Python in the loop).
+typedef uint64_t (*lm_score_fn)(void*, uint64_t, int32_t, double*);
+typedef uint64_t (*lm_finish_fn)(void*, uint64_t, double*);
 
 struct Trie {
   // CSR-flattened trie. Node 0 is the root.
@@ -90,6 +95,7 @@ struct Decoder {
   Options opts;
   lm_score_fn lm_score = nullptr;   // null => zero LM
   lm_finish_fn lm_finish = nullptr;
+  void* lm_ctx = nullptr;
   std::vector<std::vector<Hypo>> arenas;  // one arena per frame for backtrack
   std::vector<int32_t> beam;              // indices into arenas.back()
   // Zero-LM state tree mirroring Python's _ZeroLM (state.child(word) makes a
@@ -98,7 +104,7 @@ struct Decoder {
   uint64_t next_state = 1;
 
   uint64_t lm_advance(uint64_t state, int32_t word, double* score) {
-    if (lm_score) return lm_score(state, word, score);
+    if (lm_score) return lm_score(lm_ctx, state, word, score);
     *score = 0.0;
     auto it = zero_child.find(ZeroKey{state, word});
     if (it != zero_child.end()) return it->second;
@@ -131,11 +137,13 @@ void* ctc_beam_create(const int32_t* trie_arrays_sizes,  // [n_nodes, n_edges, n
                       const int32_t* child_dst, const int32_t* label_off,
                       const int32_t* label_word, const double* label_score,
                       const double* max_score, const Options* opts,
-                      lm_score_fn lm_score, lm_finish_fn lm_finish) {
+                      lm_score_fn lm_score, lm_finish_fn lm_finish,
+                      void* lm_ctx) {
   Decoder* d = new Decoder();
   d->opts = *opts;
   d->lm_score = lm_score;
   d->lm_finish = lm_finish;
+  d->lm_ctx = lm_ctx;
   if (trie_arrays_sizes != nullptr && trie_arrays_sizes[0] > 0) {
     d->has_trie = true;
     d->trie.n_nodes = trie_arrays_sizes[0];
@@ -299,7 +307,7 @@ void ctc_beam_end(void* handle) {
   for (int32_t hi : d->beam) {
     const Hypo h = prev_arena[hi];
     double lm_s = 0.0;
-    if (d->lm_finish) d->lm_finish(h.lm_state, &lm_s);
+    if (d->lm_finish) d->lm_finish(d->lm_ctx, h.lm_state, &lm_s);
     Hypo nh{h.score + d->opts.lm_weight * lm_s, h.am_score, h.lm_state,
             h.trie_node, h.prev_token, hi, -1, -1, h.lm_score_acc, frame_idx};
     arena.push_back(nh);

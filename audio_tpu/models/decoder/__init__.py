@@ -14,6 +14,7 @@ from ._ctc_decoder import (
     ctc_decoder,
     download_pretrained_files,
 )
+from ._kenlm_io import build_binary_lm
 
 __all__ = [
     "CTCDecoder",
@@ -23,6 +24,7 @@ __all__ = [
     "CUCTCDecoder",
     "CUCTCHypothesis",
     "batch_ctc_prefix_beam_search",
+    "build_binary_lm",
     "ctc_decoder",
     "cuda_ctc_decoder",
     "download_pretrained_files",

@@ -544,12 +544,27 @@ def ctc_decoder(
     if isinstance(lm, str):
         with open(lm, "rb") as f:
             head = f.read(64)
-        if head.lstrip().startswith(b"\\data\\"):
-            lm = _ArpaLM(lm, word_dict)
+        if head.startswith(b"mmap lm "):
+            # KenLM binary (probing format; csrc/ngram_lm.cpp) — needs the
+            # native core, there is no Python fallback reader
+            from ._native_lm import NativeNgramLM
+
+            lm = NativeNgramLM(lm, word_dict)
+        elif head.lstrip().startswith(b"\\data\\") or b"\\data\\" in head:
+            # ARPA text: native parse when the compiled core is available
+            # (scores the beam with no Python in the loop), else pure Python
+            from ._native import native_available
+
+            if native_available() and os.environ.get("AUDIO_TPU_DISABLE_NATIVE", "") != "1":
+                from ._native_lm import NativeNgramLM
+
+                lm = NativeNgramLM(lm, word_dict)
+            else:
+                lm = _ArpaLM(lm, word_dict)
         else:
-            raise NotImplementedError(
-                "KenLM binary language models are not supported by the built-in "
-                "decoder; pass an ARPA text file or a CTCDecoderLM instance instead."
+            raise ValueError(
+                f"unrecognized language model file {lm!r}: expected an ARPA "
+                "text file or a KenLM binary (probing format)"
             )
     if lm is None:
         lm = _ZeroLM()

@@ -23,12 +23,16 @@ import numpy as np
 _LIB = None
 _LIB_ERR: Optional[str] = None
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-                    "csrc", "ctc_beam.cpp")
+_CSRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc"
+)
+_SRCS = [os.path.join(_CSRC, "ctc_beam.cpp"), os.path.join(_CSRC, "ngram_lm.cpp")]
 
-_SCORE_CB = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int32,
-                             ctypes.POINTER(ctypes.c_double))
-_FINISH_CB = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_uint64,
+# first arg = opaque LM context (null for Python-callback LMs, the native
+# ngram handle for ngram_lm.cpp's score/finish)
+_SCORE_CB = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+                             ctypes.c_int32, ctypes.POINTER(ctypes.c_double))
+_FINISH_CB = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
                               ctypes.POINTER(ctypes.c_double))
 
 
@@ -47,8 +51,11 @@ class _Options(ctypes.Structure):
 
 
 def _build_library() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     cache_dir = os.path.join(
         os.environ.get("AUDIO_TPU_HOME", os.path.join(os.path.expanduser("~"), ".cache", "audio_tpu")),
         "native",
@@ -59,7 +66,7 @@ def _build_library() -> str:
         with tempfile.TemporaryDirectory(dir=cache_dir) as td:
             tmp = os.path.join(td, "libctc_beam.so")
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *_SRCS, "-o", tmp],
                 check=True, capture_output=True,
             )
             os.replace(tmp, lib_path)
@@ -79,7 +86,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(_Options),
-            _SCORE_CB, _FINISH_CB,
+            _SCORE_CB, _FINISH_CB, ctypes.c_void_p,
         ]
         lib.ctc_beam_destroy.argtypes = [ctypes.c_void_p]
         lib.ctc_beam_begin.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
@@ -94,6 +101,29 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.ctc_beam_get_hypo.restype = ctypes.c_int32
+        # native n-gram LM (ngram_lm.cpp)
+        lib.ngram_lm_load.restype = ctypes.c_void_p
+        lib.ngram_lm_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32]
+        lib.ngram_lm_free.argtypes = [ctypes.c_void_p]
+        lib.ngram_lm_order.restype = ctypes.c_int32
+        lib.ngram_lm_order.argtypes = [ctypes.c_void_p]
+        lib.ngram_lm_set_vocab.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32
+        ]
+        lib.ngram_lm_start.restype = ctypes.c_uint64
+        lib.ngram_lm_start.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.ngram_lm_score.restype = ctypes.c_uint64
+        lib.ngram_lm_score.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.POINTER(ctypes.c_double)
+        ]
+        lib.ngram_lm_finish.restype = ctypes.c_uint64
+        lib.ngram_lm_finish.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_double)
+        ]
+        lib.ngram_lm_score_word.restype = ctypes.c_double
+        lib.ngram_lm_score_word.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64)
+        ]
         _LIB = lib
     except Exception as e:  # g++ missing, compile failure, ...
         _LIB_ERR = str(e)
@@ -184,16 +214,24 @@ class NativeBeamSearch:
             silence=int(silence),
         )
 
+        self._lm_ctx = ctypes.c_void_p(None)
+        native_handle = getattr(lm, "_native_handle", None)
         if zero_lm:
             self._score_cb = _SCORE_CB(0)
             self._finish_cb = _FINISH_CB(0)
+        elif native_handle is not None:
+            # native n-gram LM: pass ngram_lm.cpp's own entry points so the
+            # beam search scores with no Python in the loop
+            self._score_cb = ctypes.cast(lib.ngram_lm_score, _SCORE_CB)
+            self._finish_cb = ctypes.cast(lib.ngram_lm_finish, _FINISH_CB)
+            self._lm_ctx = ctypes.c_void_p(native_handle)
         else:
-            def score_cb(state_id, usr_idx, out):
+            def score_cb(_ctx, state_id, usr_idx, out):
                 new_state, s = lm.score(self._states[state_id], int(usr_idx))
                 out[0] = float(s)
                 return self._intern(new_state)
 
-            def finish_cb(state_id, out):
+            def finish_cb(_ctx, state_id, out):
                 new_state, s = lm.finish(self._states[state_id])
                 out[0] = float(s)
                 return self._intern(new_state)
@@ -207,7 +245,7 @@ class NativeBeamSearch:
             self._handle = lib.ctc_beam_create(
                 _i32p(sizes), _i32p(coff), _i32p(ctok), _i32p(cdst),
                 _i32p(loff), _i32p(lword), _f64p(lscore), _f64p(mscore),
-                ctypes.byref(opts), self._score_cb, self._finish_cb,
+                ctypes.byref(opts), self._score_cb, self._finish_cb, self._lm_ctx,
             )
         else:
             self._trie_arrays = None
@@ -216,6 +254,7 @@ class NativeBeamSearch:
             self._handle = lib.ctc_beam_create(
                 null_i32, null_i32, null_i32, null_i32, null_i32, null_i32,
                 null_f64, null_f64, ctypes.byref(opts), self._score_cb, self._finish_cb,
+                self._lm_ctx,
             )
 
     def _intern(self, state) -> int:
@@ -229,6 +268,8 @@ class NativeBeamSearch:
     def begin(self):
         if self._zero:
             start = 0
+        elif self._lm_ctx.value:
+            start = self._lib.ngram_lm_start(self._lm_ctx, 0)
         else:
             start = self._intern(self._lm.start(False))
         self._lib.ctc_beam_begin(self._handle, start)

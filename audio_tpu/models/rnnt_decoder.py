@@ -177,8 +177,15 @@ class RNNTBeamSearch:
             a = b
             b = self._empty_b(b_capacity, a)
 
-            def inner(i, carry):
-                a, b = carry
+            def inner_cond(carry):
+                i, a, b = carry
+                # reference loops while the a set is non-empty (with the
+                # step_max_tokens safety bound); an empty a contributes only
+                # no-op merges, so early exit is result-identical
+                return (i <= self.step_max_tokens) & jnp.any(a.counts >= 0)
+
+            def inner(carry):
+                i, a, b = carry
                 probs = self._join(enc_t[None], a.pred_out)  # (K, V)
                 blank_scores = jnp.where(a.counts >= 0, a.scores + probs[:, -1], _NEG_INF)
                 b = self._merge_blank_into_b(b, a, blank_scores)
@@ -188,9 +195,9 @@ class RNNTBeamSearch:
                 top_b, _ = jax.lax.top_k(b.scores, beam_width)
                 kth = jnp.where(n_alive_b >= beam_width, top_b[-1], _NEG_INF)
                 a = self._expand_a(a, probs, kth, beam_width)
-                return a, b
+                return i + 1, a, b
 
-            a, b = jax.lax.fori_loop(0, self.step_max_tokens + 1, inner, (a, b))
+            _, a, b = jax.lax.while_loop(inner_cond, inner, (jnp.int32(0), a, b))
             # rank by length-normalized score: tokens include the init blank in
             # the reference, so len(tokens)+1 == emitted + 2
             norm = jnp.where(b.counts >= 0, b.scores / (b.counts + 2.0), _NEG_INF)

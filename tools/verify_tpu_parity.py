@@ -166,7 +166,10 @@ def verify_spectrogram():
 
     fb = melscale_fbanks(n_fft // 2 + 1, 0.0, 8000.0, 80, 16000)
     got = jax.block_until_ready(power_spectrogram_pallas(x, window, n_fft, hop, 2.0, fb=fb))
-    ref2 = jax.block_until_ready(jax.jit(lambda p, fb: jnp.einsum("btf,fm->btm", p, fb))(ref, fb))
+    # oracle GEMM at HIGHEST: the kernel's mel GEMM is exact-f32, so a
+    # default-precision (1-pass bf16) einsum would be the noisier side
+    ref2 = jax.block_until_ready(jax.jit(lambda p, fb: jnp.einsum(
+        "btf,fm->btm", p, fb, precision=jax.lax.Precision.HIGHEST))(ref, fb))
     scale2 = float(jnp.max(ref2))
     ma, mr = rel_err(got, ref2)
     check("pallas_spectrogram_mel_fused", ma / scale2, mr, 1e-3, 0.0, time.time() - t0,
@@ -174,15 +177,25 @@ def verify_spectrogram():
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    choices=[None, "iir", "lfilter", "viterbi", "spectrogram"])
+    args = ap.parse_args()
     backend = jax.default_backend()
     print(json.dumps({"backend": backend, "devices": [str(d) for d in jax.devices()]}), flush=True)
     if backend in ("cpu", "gpu", "cuda", "rocm"):
         print(json.dumps({"error": "run on the TPU (axon) backend"}))
         return 2
-    verify_iir()
-    verify_lfilter_fused()
-    verify_viterbi()
-    verify_spectrogram()
+    if args.only in (None, "iir"):
+        verify_iir()
+    if args.only in (None, "lfilter"):
+        verify_lfilter_fused()
+    if args.only in (None, "viterbi"):
+        verify_viterbi()
+    if args.only in (None, "spectrogram"):
+        verify_spectrogram()
     n_fail = sum(not r["ok"] for r in RESULTS)
     print(json.dumps({"summary": "tpu_pallas_parity", "checks": len(RESULTS), "failures": n_fail}))
     return 1 if n_fail else 0

@@ -293,6 +293,12 @@ def loudness(waveform: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
 
     if waveform.shape[-2] > 5:
         raise ValueError("Only up to 5 channels are supported.")
+    # compliance meter: the 38 Hz K-weighting highpass has a near-unit pole,
+    # so reduced-precision recurrences random-walk (~7 dB error in bf16);
+    # always measure in f32 and cast the scalar back
+    in_dtype = waveform.dtype
+    if in_dtype in (jnp.bfloat16, jnp.float16):
+        return loudness(waveform.astype(jnp.float32), sample_rate).astype(in_dtype)
     gate_duration = 0.4
     overlap = 0.75
     gamma_abs = -70.0
@@ -401,9 +407,13 @@ def _apply_convolve_mode(conv_result: jnp.ndarray, x_length: int, y_length: int,
 def fftconvolve(x: jnp.ndarray, y: jnp.ndarray, mode: str = "full") -> jnp.ndarray:
     """True convolution along the last axis via rfft (XLA FFT)."""
     _check_shape_compatible(x, y)
+    out_dtype = jnp.result_type(x.dtype, y.dtype)
+    if out_dtype in (jnp.bfloat16, jnp.float16):
+        # FFT kernels only exist for f32/f64: compute in f32, cast back
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
     n = x.shape[-1] + y.shape[-1] - 1
     fresult = jnp.fft.rfft(x, n=n) * jnp.fft.rfft(y, n=n)
-    result = jnp.fft.irfft(fresult, n=n)
+    result = jnp.fft.irfft(fresult, n=n).astype(out_dtype)
     return _apply_convolve_mode(result, x.shape[-1], y.shape[-1], mode)
 
 

@@ -295,6 +295,20 @@ def spectrogram(
         )
     hop_length = hop_length or n_fft // 2
     win_length = win_length or n_fft
+    # reduced-precision inputs: FFT kernels only exist for f32/f64, so
+    # compute in f32 and cast real outputs back (complex output is
+    # complex64 either way) — mirrors torch.stft's half/CUDA promotion
+    in_dtype = waveform.dtype
+    reduced = in_dtype in (jnp.bfloat16, jnp.float16)
+    if reduced:
+        waveform = waveform.astype(jnp.float32)
+        if window is not None:
+            window = window.astype(jnp.float32)
+        out = spectrogram(
+            waveform, pad, window, n_fft, hop_length, win_length, power,
+            normalized, center, pad_mode, onesided,
+        )
+        return out.astype(in_dtype) if power is not None else out
     if pad > 0:
         waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(pad, pad)])
     frame_length_norm, window_norm = _get_spec_norms(normalized)

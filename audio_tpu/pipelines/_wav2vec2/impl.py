@@ -132,6 +132,7 @@ class Wav2Vec2ASRBundle(Wav2Vec2Bundle):
     def _get_state_dict(self, dl_kwargs):
         sd = super()._get_state_dict(dl_kwargs)
         if self._remove_aux_axis:
+            sd = dict(sd)  # don't mutate a caller-injected state dict
             _remove_aux_axes(sd, self._remove_aux_axis)
         return sd
 

@@ -61,12 +61,24 @@ def flops_of(jitted, *args) -> float:
         return 0.0
 
 
-def timed(fn, *args, reps: int = 5) -> float:
-    jax.block_until_ready(fn(*args))  # compile
+def timed(fn, argmaker, reps: int = 5) -> float:
+    """Median wall of ``fn(*argmaker(i))``.
+
+    ``fn`` must return a SMALL array: completion is forced by READING THE
+    VALUE BACK (np.asarray), not block_until_ready — the axon relay's
+    readiness signal can fire early/for a previous dispatch, and identical
+    (executable, operands) pairs are memoized and replayed.  Value readback
+    is the only timing this environment cannot fake.  ``argmaker`` must
+    still return different operand contents per call (multiplicative
+    perturbation — additive 1e-9 rounds away in f32); args are materialized
+    before the clock starts.
+    """
+    np.asarray(fn(*argmaker(-1)))  # compile + true sync
     times = []
-    for _ in range(reps):
+    for i in range(reps):
+        args = jax.block_until_ready(argmaker(i))
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -97,7 +109,7 @@ def bench_wav2vec2(sink):
     single = jax.jit(step)
     fl = flops_of(single, params, wav, lengths)
 
-    K = 8
+    K = 32
 
     @jax.jit
     def chain(params, wav, lengths):
@@ -109,7 +121,7 @@ def bench_wav2vec2(sink):
         _, acc = jax.lax.fori_loop(0, K, body, (wav, jnp.float32(0.0)))
         return acc
 
-    w = timed(chain, params, wav, lengths) / K
+    w = timed(chain, lambda i: (params, wav * (1.0 + 1e-6 * (i + 2)), lengths)) / K
     streams = 0.1 * B * D / w
     mfu = fl / w / peak_flops() if fl else None
     emit({
@@ -136,17 +148,19 @@ def _rnnt_base(num_symbols=4097):
 def bench_rnnt_streaming(sink):
     """Emformer-RNNT base (76.7M) streaming: segment -> encoder(state) -> beam.
 
-    One segment = 16 encoder frames (stride 4) + 4 right-context = 80 mel
-    frames = 0.8 s audio.  Beam width 10.  The joiner bias is tilted toward
-    blank (+4) to mimic a trained model's expansion behavior (untrained
-    random logits would expand pathologically, which no trained RNN-T does).
+    One segment = 16 mel frames + 4 right-context (the bundle's streaming
+    contract, /root/reference/src/torchaudio/pipelines/rnnt_pipeline.py:336-344)
+    = 0.16 s of audio at hop 10 ms; time reduction 4 leaves 4+1 encoder
+    frames.  Beam width 10.  The joiner bias is tilted toward blank (+4) to
+    mimic a trained model's expansion behavior (untrained random logits
+    would expand pathologically, which no trained RNN-T does).
     """
     from audio_tpu.models.rnnt_decoder import RNNTBeamSearch
 
     V = 4097
     model = _rnnt_base(V)
     rng = np.random.default_rng(1)
-    SEG_T, D_IN, SEG_SECONDS = 80, 80, 0.8
+    SEG_T, D_IN, SEG_SECONDS = 20, 80, 0.16
     feats = jnp.asarray(rng.standard_normal((1, SEG_T, D_IN)).astype(np.float32))
     lengths = jnp.full((1,), SEG_T, jnp.int32)
     tgt = jnp.zeros((1, 1), jnp.int32)
@@ -159,41 +173,53 @@ def bench_rnnt_streaming(sink):
     jb = params["params"]["joiner"]["linear"]["bias"]
     params["params"]["joiner"]["linear"]["bias"] = jb.at[-1].add(4.0)
 
-    decoder = RNNTBeamSearch(model, params, blank=V - 1, step_max_tokens=10,
-                             max_tokens=200)
     BEAM = 10
 
-    def seg_step(feats, hypo, state):
-        return decoder.infer(feats, lengths, BEAM, state=state, hypothesis=hypo)
+    def _decoder(params):
+        # constructed INSIDE the traced function so params are a program
+        # argument, not 307 MB of embedded HLO constants
+        return RNNTBeamSearch(model, params, blank=V - 1, step_max_tokens=10,
+                              max_tokens=200)
+
+    def seg_step(params, feats, hypo, state):
+        return _decoder(params).infer(feats, lengths, BEAM, state=state,
+                                      hypothesis=hypo)
 
     jitted = jax.jit(seg_step)
     # prime: build initial state/hypo with one real segment
-    hypo0, state0 = jax.block_until_ready(jitted(feats, decoder._init_beam(BEAM), None))
+    hypo_init = jax.jit(lambda p: _decoder(p)._init_beam(BEAM))(params)
+    hypo0, state0 = jax.block_until_ready(jitted(params, feats, hypo_init, None))
     jitted2 = jax.jit(seg_step)
-    fl = flops_of(jitted2, feats, hypo0, state0)
+    fl = flops_of(jitted2, params, feats, hypo0, state0)
 
-    # single-dispatch latency (includes the axon tunnel floor, ~25 ms)
-    w_dispatch = timed(jitted2, feats, hypo0, state0, reps=10)
+    # single-dispatch latency (includes the axon tunnel floor, ~25 ms);
+    # returns only the beam scores so readback is a few bytes
+    disp = jax.jit(lambda p, f, h, s: seg_step(p, f, h, s)[0].scores)
+    w_dispatch = timed(disp,
+                       lambda i: (params, feats * (1.0 + 1e-6 * (i + 2)), hypo0, state0),
+                       reps=10)
 
     # in-chain compute latency: K segments back to back, carried state+beam
-    K = 16
+    K = 32
 
     @jax.jit
-    def chain(feats, hypo, state):
+    def chain(params, feats, hypo, state):
+        dec = _decoder(params)
+
         def body(carry, _):
             f, h, s = carry
-            h, s = decoder.infer(f, lengths, BEAM, state=s, hypothesis=h)
+            h, s = dec.infer(f, lengths, BEAM, state=s, hypothesis=h)
             bump = (jnp.sum(h.scores) * 1e-12).astype(f.dtype)
             return (f + bump, h, s), None
         (f, h, s), _ = jax.lax.scan(body, (feats, hypo, state), None, length=K)
         return h.scores
 
-    w = timed(chain, feats, hypo0, state0) / K
+    w = timed(chain, lambda i: (params, feats * (1.0 + 1e-6 * (i + 2)), hypo0, state0)) / K
     mfu = fl / w / peak_flops() if fl else None
     emit({
         "metric": "emformer_rnnt_streaming_latency_ms",
         "value": round(w * 1e3, 2),
-        "unit": "ms compute per 0.8 s segment (beam 10, device-resident)",
+        "unit": f"ms compute per {SEG_SECONDS} s segment (beam 10, device-resident)",
         "detail": {
             "segments_per_second": round(1.0 / w, 1),
             "rtf": round(w / SEG_SECONDS, 4),
@@ -215,9 +241,12 @@ def bench_rnnt_train(sink):
 
     V = 4097
     B, T, U = 8, 512, 64  # 5.12 s audio, 64 sentencepiece targets
+    RC = 4  # the encoder contract: input carries right_context_length extra
+    # padded frames beyond the stated valid length (the reference recipe
+    # right-pads features by 4 frames, emformer_rnnt/lightning.py:79-118)
     model = _rnnt_base(V)
     rng = np.random.default_rng(2)
-    feats = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((B, T + RC, 80)).astype(np.float32))
     feat_lens = jnp.full((B,), T, jnp.int32)
     targets = jnp.asarray(rng.integers(1, V - 1, (B, U)).astype(np.int32))
     tgt_lens = jnp.full((B,), U, jnp.int32)
@@ -261,7 +290,7 @@ def bench_rnnt_train(sink):
 
     losses = jax.block_until_ready(jax.jit(chain)(params, opt_state, key))
     assert bool(jnp.isfinite(losses).all()), losses
-    w = timed(chain, params, opt_state, key) / K
+    w = timed(chain, lambda i: (params, opt_state, jax.random.PRNGKey(10 + i))) / K
     mfu = fl / w / peak_flops() if fl else None
     emit({
         "metric": "emformer_rnnt_train_step_tokens_per_s",

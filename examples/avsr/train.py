@@ -3,11 +3,14 @@
 Counterpart of /root/reference/examples/avsr/ (lightning_av.py:48-105:
 video ResNet frontend + audio ResNet1D frontend at the 25 fps video rate,
 concat -> FFN fusion (models/fusion.py:35) -> conformer/emformer RNN-T,
-RNNTLoss, AdamW; trained on LRS3). The frontends here are compact flax
-equivalents — a Conv3D stem + 2D conv stack over the lip crops and a strided
-1D conv stack that brings 16 kHz audio to the video frame rate — and the
-transducer is the Conformer RNN-T assembled from `audio_tpu.models.rnnt`
-components. The whole step is one jit'd program over the "dp" mesh axis.
+RNNTLoss, AdamW; trained on LRS3). The frontends (frontends.py) are
+shape-faithful flax ResNet-18 / ResNet1D trunks with a GroupNorm-for-
+BatchNorm substitution (stateless under jit; see frontends.py docstring),
+and the transducer is the Conformer RNN-T assembled from
+`audio_tpu.models.rnnt` components. The whole step is one jit'd program
+over the "dp" mesh axis. `eval.py` runs greedy-decode WER; checkpoints can
+be merged with `average_checkpoints.py` (the reference averages the last
+10 epochs, avsr/average_checkpoints.py).
 
 Quick synthetic smoke on a CPU mesh (no LRS3 required):
 
@@ -32,82 +35,23 @@ from audio_tpu.models import Conformer
 from audio_tpu.models.rnnt import _Joiner, _Predictor
 from audio_tpu.parallel import batch_sharding, create_mesh, replicate
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent))
+from frontends import AudioResNetFrontend, FusionModule, VideoResNetFrontend  # noqa: E402
+
 SAMPLE_RATE = 16000
 VIDEO_FPS = 25
 SAMPLES_PER_FRAME = SAMPLE_RATE // VIDEO_FPS  # 640
 BLANK_FIRST_TOKEN = 0
 
 
-class VideoFrontend(nn.Module):
-    """Conv3D stem + 2D conv stack -> one embedding per video frame.
-
-    Compact analogue of the reference's 3D-stem + ResNet-18 trunk
-    (models/resnet.py:101-160): the 3D conv mixes +-2 neighbouring frames,
-    the 2D stack collapses the spatial dims.
-    """
-
-    out_dim: int = 512
-    width: int = 32
-
-    @nn.compact
-    def __call__(self, videos, deterministic=True):  # (B, T, H, W) grayscale
-        x = videos[..., None]  # (B, T, H, W, 1)
-        x = nn.Conv(self.width, (5, 7, 7), strides=(1, 2, 2), name="stem3d")(x)
-        x = nn.relu(nn.LayerNorm(name="stem_norm")(x))
-        b, t = x.shape[0], x.shape[1]
-        x = x.reshape((b * t,) + x.shape[2:])  # fold time into batch for 2D convs
-        for i, w in enumerate((self.width, 2 * self.width, 4 * self.width)):
-            x = nn.Conv(w, (3, 3), strides=(2, 2), name=f"conv2d_{i}")(x)
-            x = nn.relu(nn.LayerNorm(name=f"norm2d_{i}")(x))
-        x = x.mean(axis=(1, 2))  # global spatial pool
-        x = nn.Dense(self.out_dim, name="proj")(x)
-        return x.reshape(b, t, self.out_dim)
-
-
-class AudioFrontend(nn.Module):
-    """Strided 1D conv stack: 16 kHz waveform -> 25 fps embeddings.
-
-    Analogue of the reference's audio ResNet1D (models/resnet1d.py), which
-    also downsamples by 640x to align with the video rate.
-    """
-
-    out_dim: int = 512
-    width: int = 64
-
-    @nn.compact
-    def __call__(self, audio, deterministic=True):  # (B, L) -> (B, L//640, D)
-        x = audio[..., None]
-        # strides 5*4*4*4*2 = 640 samples per output frame
-        for i, (w, k, s) in enumerate([
-            (self.width, 10, 5), (self.width, 8, 4), (2 * self.width, 8, 4),
-            (2 * self.width, 8, 4), (4 * self.width, 4, 2),
-        ]):
-            x = nn.Conv(w, (k,), strides=(s,), padding=[(k // 2, k // 2)], name=f"conv_{i}")(x)
-            x = nn.relu(nn.LayerNorm(name=f"norm_{i}")(x))
-        return nn.Dense(self.out_dim, name="proj")(x)
-
-
-class FusionModule(nn.Module):
-    """LayerNorm -> Linear -> SiLU -> Linear (reference models/fusion.py:16-22)."""
-
-    hidden_dim: int = 3072
-    output_dim: int = 512
-    dropout: float = 0.1
-
-    @nn.compact
-    def __call__(self, x, deterministic=True):
-        x = nn.LayerNorm(name="norm")(x)
-        x = nn.silu(nn.Dense(self.hidden_dim, name="linear1")(x))
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.output_dim, name="linear2")(x)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
-
-
 class AVConformerRNNT(nn.Module):
     """Fused A/V features -> Conformer transcriber -> RNN-T."""
 
     num_symbols: int
-    frontend_dim: int = 512
+    frontend_width: int = 64  # ResNet stage-1 width; frontends emit 8*width
     fusion_hidden: int = 3072
     encoding_dim: int = 256
     conformer_layers: int = 16
@@ -120,8 +64,8 @@ class AVConformerRNNT(nn.Module):
     joiner_dim: int = 256
 
     def setup(self):
-        self.video_frontend = VideoFrontend(self.frontend_dim, name="video_frontend")
-        self.audio_frontend = AudioFrontend(self.frontend_dim, name="audio_frontend")
+        self.video_frontend = VideoResNetFrontend(self.frontend_width, name="video_frontend")
+        self.audio_frontend = AudioResNetFrontend(self.frontend_width, name="audio_frontend")
         self.fusion = FusionModule(self.fusion_hidden, self.encoding_dim, self.dropout,
                                    name="fusion")
         self.conformer = Conformer(
@@ -148,15 +92,28 @@ class AVConformerRNNT(nn.Module):
         )
         self.joiner = _Joiner(output_dim=self.num_symbols, name="joiner")
 
-    def __call__(self, videos, audios, video_lengths, targets, target_lengths,
-                 deterministic: bool = True):
+    def fuse(self, videos, audios, video_lengths, deterministic: bool = True):
+        """A/V frontends + FFN fusion -> (features (B, T, D), lengths)."""
         v = self.video_frontend(videos, deterministic)
         a = self.audio_frontend(audios, deterministic)
         t = min(v.shape[1], a.shape[1])
         fused = self.fusion(jnp.concatenate([v[:, :t], a[:, :t]], axis=-1), deterministic)
-        src_enc, src_lens = self.conformer(fused, jnp.minimum(video_lengths, t),
-                                           deterministic=deterministic)
-        src_enc = self.output_linear(src_enc)
+        return fused, jnp.minimum(video_lengths, t)
+
+    def transcribe(self, sources, source_lengths, deterministic: bool = True):
+        enc, lens = self.conformer(sources, source_lengths, deterministic=deterministic)
+        return self.output_linear(enc), lens
+
+    def predict(self, targets, target_lengths, state=None, deterministic: bool = True):
+        return self.predictor(targets, target_lengths, state, deterministic=deterministic)
+
+    def join(self, source_encodings, source_lengths, target_encodings, target_lengths):
+        return self.joiner(source_encodings, source_lengths, target_encodings, target_lengths)
+
+    def __call__(self, videos, audios, video_lengths, targets, target_lengths,
+                 deterministic: bool = True):
+        fused, fused_lens = self.fuse(videos, audios, video_lengths, deterministic)
+        src_enc, src_lens = self.transcribe(fused, fused_lens, deterministic)
         tgt_enc, tgt_lens, _ = self.predictor(targets, target_lengths,
                                               deterministic=deterministic)
         logits, src_lens, tgt_lens = self.joiner(src_enc, src_lens, tgt_enc, tgt_lens)
@@ -165,7 +122,7 @@ class AVConformerRNNT(nn.Module):
 
 def tiny_model(num_symbols):
     return AVConformerRNNT(
-        num_symbols=num_symbols, frontend_dim=16, fusion_hidden=32, encoding_dim=16,
+        num_symbols=num_symbols, frontend_width=8, fusion_hidden=32, encoding_dim=16,
         conformer_layers=2, conformer_heads=2, conformer_ffn_dim=32,
         conformer_kernel_size=7, symbol_embedding_dim=8, lstm_hidden_dim=16,
         joiner_dim=16,
@@ -202,6 +159,8 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-symbols", type=int, default=1024)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--save-every", type=int, default=50)
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -248,6 +207,12 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        from audio_tpu.utils import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=12)
+
     key = jax.random.PRNGKey(1)
     it = iter(data)
     t0 = time.time()
@@ -264,6 +229,8 @@ def main():
         )
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
+        if ckpt_mgr and (step % args.save_every == args.save_every - 1 or step == args.steps - 1):
+            ckpt_mgr.save(step, {"params": params, "step": step})
 
 
 if __name__ == "__main__":

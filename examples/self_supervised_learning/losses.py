@@ -107,8 +107,12 @@ def wav2vec2_loss(
     targets = jnp.concatenate([positives[None], negatives], axis=0)  # (N+1, B, T, D)
 
     def cos(a, b):
-        num = (a * b).sum(-1)
-        return num / jnp.maximum(jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), 1e-8)
+        # rsqrt(x + eps) keeps the GRADIENT finite for all-zero vectors
+        # (zero-padded frames): norm() has a NaN grad at 0, and masking the
+        # loss afterwards does not stop NaN cotangents from propagating
+        an = a * jax.lax.rsqrt(jnp.square(a).sum(-1, keepdims=True) + 1e-12)
+        bn = b * jax.lax.rsqrt(jnp.square(b).sum(-1, keepdims=True) + 1e-12)
+        return (an * bn).sum(-1)
 
     logits = cos(x[None].astype(jnp.float32), targets.astype(jnp.float32)) / logit_temp
     neg_inf = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)

@@ -109,11 +109,78 @@ def test_ssl_hubert_recipe():
 
 
 @pytest.mark.slow
+def test_ssl_wav2vec2_recipe():
+    _run(
+        f"{_REPO}/examples/self_supervised_learning/train_wav2vec2.py",
+        ["train_wav2vec2.py", "--synthetic", "--tiny", "--steps", "2"],
+    )
+
+
+def test_ssl_data_modules():
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "_ssl_dm", f"{_REPO}/examples/self_supervised_learning/data_modules.py"
+    )
+    dm = importlib.util.module_from_spec(spec)
+    _sys.modules["_ssl_dm"] = dm
+    spec.loader.exec_module(dm)
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    lengths = rng.integers(1000, 9000, 200).tolist()
+    # token-count batching: each batch's summed length under the cap, every
+    # in-range index appears exactly once
+    s = dm.BucketizeBatchSampler(lengths, num_buckets=5, max_token_count=20000)
+    seen = [i for b in s for i in b]
+    assert sorted(seen) == list(range(200))
+    for b in s:
+        assert sum(lengths[i] for i in b) <= 20000
+    # count batching + rank sharding: disjoint, equal-count shards
+    s2 = dm.BucketizeBatchSampler(lengths, num_buckets=5, batch_size=16, shuffle=False)
+    shards = [dm.shard_batches(list(s2), 4, r) for r in range(4)]
+    assert len({len(sh) for sh in shards}) == 1
+    flat = [i for sh in shards for b in sh for i in b]
+    assert len(flat) == len(set(flat))
+    # collate pads to the requested fixed length and crops labels in sync
+    samples = [
+        (rng.standard_normal(5000).astype("float32"), _np.arange(15, dtype="int32"), 5000),
+        (rng.standard_normal(4000).astype("float32"), _np.arange(12, dtype="int32"), 4000),
+    ]
+    out = dm.CollateFnHubert(pad_to=6000)(samples)
+    assert out["waveforms"].shape == (2, 6000)
+    assert out["lengths"].tolist() == [5000, 4000]
+    exp_labels = dm._label_window(0, 6000)[1]
+    assert out["labels"].shape == (2, exp_labels)
+
+
+@pytest.mark.slow
 def test_avsr_recipe():
     _run(
         f"{_REPO}/examples/avsr/train.py",
         ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8"],
     )
+
+
+@pytest.mark.slow
+def test_avsr_train_average_eval(tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpt")
+    _run(
+        f"{_REPO}/examples/avsr/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--checkpoint-dir", ckpt, "--save-every", "1"],
+    )
+    _run(
+        f"{_REPO}/examples/avsr/average_checkpoints.py",
+        ["average_checkpoints.py", "--checkpoint-dir", ckpt, "--last", "2"],
+    )
+    _run(
+        f"{_REPO}/examples/avsr/eval.py",
+        ["eval.py", "--synthetic", "--tiny", "--checkpoint-dir", ckpt,
+         "--step", "1000000000", "--batches", "1"],
+    )
+    assert '"ter"' in capsys.readouterr().out
 
 
 @pytest.mark.slow

@@ -75,15 +75,17 @@ def main():
         _, acc = jax.lax.fori_loop(0, K, body, (wav, jnp.int32(0)))
         return acc
 
-    jax.block_until_ready(chain_k(wav, targets))
+    np.asarray(chain_k(wav, targets))  # compile + true sync via readback
     times = []
     for i in range(5):
         # vary the operand per rep: the axon relay memoizes identical
-        # (executable, operands) dispatches and replays the ready result.
-        # Multiplicative so it survives f32 rounding at any signal scale.
+        # (executable, operands) dispatches and replays the ready result
+        # (multiplicative so it survives f32 rounding at any signal scale),
+        # and force completion by reading the scalar VALUE back — the
+        # relay's readiness signal can fire for a previous dispatch.
         wav_i = jax.block_until_ready(wav * jnp.float32(1.0 + 1e-6 * (i + 1)))
         t0 = time.perf_counter()
-        jax.block_until_ready(chain_k(wav_i, targets))
+        np.asarray(chain_k(wav_i, targets))
         times.append(time.perf_counter() - t0)
     w = float(np.median(times)) / K
 

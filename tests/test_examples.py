@@ -108,6 +108,32 @@ def test_ssl_hubert_recipe():
     )
 
 
+def test_emformer_global_stats(tmp_path, monkeypatch):
+    out = tmp_path / "global_stats.json"
+    _run(
+        f"{_REPO}/examples/asr/emformer_rnnt/global_stats.py",
+        ["global_stats.py", "--synthetic", "--synthetic-utterances", "3",
+         "--output-path", str(out)],
+    )
+    import json as _json
+
+    blob = _json.loads(out.read_text())
+    assert len(blob["mean"]) == 80 and len(blob["invstddev"]) == 80
+    # round-trip: the pipeline's feature extractor consumes the file
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    import audio_tpu.pipelines as _P
+
+    monkeypatch.setattr(
+        "audio_tpu.pipelines.rnnt_pipeline._download_asset", lambda key: str(out)
+    )
+    fe = _P.EMFORMER_RNNT_BASE_LIBRISPEECH.get_feature_extractor()
+    feats, _ = fe(_jnp.asarray(
+        _np.random.default_rng(0).standard_normal(16000).astype("float32") * 0.1))
+    assert feats.shape[-1] == 80 and _np.isfinite(_np.asarray(feats)).all()
+
+
 @pytest.mark.slow
 def test_ssl_wav2vec2_recipe():
     _run(

@@ -145,8 +145,17 @@ def rnnt_loss_from_logprobs(
     return -ll, alphas, betas
 
 
-def _log_softmax(x):
-    return jax.nn.log_softmax(x, axis=-1)
+def _as_logprobs(logits, fused_log_softmax):
+    """Cast-compute: the DP always runs in f32 even for bf16/f16 logits.
+
+    Mirrors the reference's half-precision handling (fp16 in, fp32 compute,
+    /root/reference/src/libtorchaudio/rnnt/cpu/cpu_kernels.h CAST/ACC
+    dtypes); the saved residual stays in the input dtype, so bf16 training
+    keeps the (B,T,U,V) tensor half-sized in HBM while the log-semiring
+    scans stay accurate.
+    """
+    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
+    return jax.nn.log_softmax(x, axis=-1) if fused_log_softmax else x
 
 
 def _gather_lps(log_probs, targets, blank):
@@ -174,14 +183,14 @@ def rnnt_loss_core(
 
     logits: (B, T, U+1, V) joiner output; targets: (B, U).
     """
-    log_probs = _log_softmax(logits) if fused_log_softmax else logits
+    log_probs = _as_logprobs(logits, fused_log_softmax)
     blank_lp, label_lp = _gather_lps(log_probs, targets, blank)
     costs, _, _ = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
     return costs
 
 
 def _rnnt_fwd(logits, targets, logit_lengths, target_lengths, blank, clamp, fused_log_softmax):
-    log_probs = _log_softmax(logits) if fused_log_softmax else logits
+    log_probs = _as_logprobs(logits, fused_log_softmax)
     blank_lp, label_lp = _gather_lps(log_probs, targets, blank)
     costs, alphas, betas = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
     return costs, (logits, targets, logit_lengths, target_lengths, alphas, betas)
@@ -193,7 +202,7 @@ def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
     u_max = u1 - 1
     ll = betas[:, 0, 0][:, None, None]
 
-    log_probs = _log_softmax(logits) if fused_log_softmax else logits
+    log_probs = _as_logprobs(logits, fused_log_softmax)
     blank_lp, label_lp = _gather_lps(log_probs, targets, blank)
 
     t_idx = jnp.arange(t_max)[None, :, None]
@@ -219,10 +228,12 @@ def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
     g_label = jnp.where(label_in_range, g_label, 0.0)
 
     # scatter into (B,T,U+1,V) gradient wrt log_probs: blank column plus a
-    # one-hot spread of the label gradients over the vocab axis
-    grad_lp = jnp.zeros_like(logits)
+    # one-hot spread of the label gradients over the vocab axis.  Built in
+    # f32 regardless of logits dtype (cast-compute); cast back at the end.
+    acc_dtype = jnp.promote_types(logits.dtype, jnp.float32)
+    grad_lp = jnp.zeros(logits.shape, acc_dtype)
     grad_lp = grad_lp.at[..., blank].add(g_blank)
-    label_onehot = jax.nn.one_hot(targets, v, dtype=logits.dtype)  # (B, U, V)
+    label_onehot = jax.nn.one_hot(targets, v, dtype=acc_dtype)  # (B, U, V)
     grad_lp = grad_lp.at[:, :, :u_max, :].add(g_label[..., None] * label_onehot[:, None, :, :])
 
     if fused_log_softmax:
@@ -236,7 +247,7 @@ def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
         grad_logits = jnp.clip(grad_logits, -clamp, clamp)
 
     grad_logits = grad_logits * g[:, None, None, None]
-    return (grad_logits, None, None, None)
+    return (grad_logits.astype(logits.dtype), None, None, None)
 
 
 rnnt_loss_core.defvjp(_rnnt_fwd, _rnnt_bwd)

@@ -89,9 +89,15 @@ def emit(rec, sink):
 
 
 # --------------------------------------------------------------------------
-def bench_wav2vec2(sink):
-    """wav2vec2-BASE (94.4M params) batched inference on 1 s chunks."""
+def bench_wav2vec2(sink, dtype="f32"):
+    """wav2vec2-BASE (94.4M params) batched inference on 1 s chunks.
+
+    ``dtype="bf16"`` runs the whole network in bfloat16 (f32 norm stats via
+    flax, f32 log-softmax at the output boundary) — the intended TPU serving
+    configuration (`audio_tpu.utils.cast_floating`).
+    """
     import audio_tpu.models as M
+    from audio_tpu.utils import cast_floating
 
     B, SR, D = 128, 16000, 1.0
     model = M.wav2vec2_base(aux_num_out=29)
@@ -101,10 +107,14 @@ def bench_wav2vec2(sink):
     params = jax.jit(model.init, static_argnames=("deterministic",))(
         jax.random.PRNGKey(0), wav[:1], lengths[:1], deterministic=True
     )
+    if dtype == "bf16":
+        params = cast_floating(params, jnp.bfloat16)
 
     def step(params, wav, lengths):
+        if dtype == "bf16":
+            wav = wav.astype(jnp.bfloat16)
         logits, out_lens = model.apply(params, wav, lengths, deterministic=True)
-        return jax.nn.log_softmax(logits, axis=-1), out_lens
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), out_lens
 
     single = jax.jit(step)
     fl = flops_of(single, params, wav, lengths)
@@ -124,8 +134,9 @@ def bench_wav2vec2(sink):
     w = timed(chain, lambda i: (params, wav * (1.0 + 1e-6 * (i + 2)), lengths)) / K
     streams = 0.1 * B * D / w
     mfu = fl / w / peak_flops() if fl else None
+    suffix = "_bf16" if dtype == "bf16" else ""
     emit({
-        "metric": "wav2vec2_base_inference_streams_rtf0.1",
+        "metric": f"wav2vec2_base_inference_streams_rtf0.1{suffix}",
         "value": round(streams, 1),
         "unit": "streams/chip (16kHz, 94.4M params, log-softmax emissions)",
         "detail": {
@@ -233,11 +244,18 @@ def bench_rnnt_streaming(sink):
     }, sink)
 
 
-def bench_rnnt_train(sink):
-    """Emformer-RNNT base train step at realistic (B, T, U, V)."""
+def bench_rnnt_train(sink, dtype="f32"):
+    """Emformer-RNNT base train step at realistic (B, T, U, V).
+
+    ``dtype="bf16"`` keeps f32 master weights + adamw state and runs the
+    forward/backward in bfloat16 (`audio_tpu.utils.cast_floating` inside the
+    loss, so `jax.grad` yields f32 master grads); the (B,T,U,V) logits are
+    upcast to f32 only at the rnnt_loss boundary.
+    """
     import optax
 
     import audio_tpu.functional as F
+    from audio_tpu.utils import cast_floating
 
     V = 4097
     B, T, U = 8, 512, 64  # 5.12 s audio, 64 sentencepiece targets
@@ -260,10 +278,15 @@ def bench_rnnt_train(sink):
 
     def loss_fn(params, key):
         tgt_in = jnp.pad(targets, ((0, 0), (1, 0)))  # blank-prepended
+        f = feats
+        if dtype == "bf16":
+            params = cast_floating(params, jnp.bfloat16)
+            f = feats.astype(jnp.bfloat16)
         logits, src_lens, _, _ = model.apply(
-            {"params": params}, feats, feat_lens, tgt_in, tgt_lens + 1,
+            {"params": params}, f, feat_lens, tgt_in, tgt_lens + 1,
             deterministic=False, rngs={"dropout": key},
         )
+        # rnnt_loss cast-computes its DP in f32 for bf16 logits (ops/rnnt.py)
         return F.rnnt_loss(logits, targets, src_lens, tgt_lens, blank=0,
                            reduction="mean")
 
@@ -292,10 +315,12 @@ def bench_rnnt_train(sink):
     assert bool(jnp.isfinite(losses).all()), losses
     w = timed(chain, lambda i: (params, opt_state, jax.random.PRNGKey(10 + i))) / K
     mfu = fl / w / peak_flops() if fl else None
+    suffix = "_bf16" if dtype == "bf16" else ""
     emit({
-        "metric": "emformer_rnnt_train_step_tokens_per_s",
+        "metric": f"emformer_rnnt_train_step_tokens_per_s{suffix}",
         "value": round(B * U / w, 1),
-        "unit": "target tokens/s (B=8, T=512 mel, U=64, V=4097, adamw)",
+        "unit": "target tokens/s (B=8, T=512 mel, U=64, V=4097, adamw"
+                + (", bf16 compute / f32 masters)" if dtype == "bf16" else ")"),
         "detail": {
             "step_ms": round(w * 1e3, 1),
             "audio_seconds_per_second": round(B * T * 0.01 / w, 1),
@@ -312,7 +337,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None,
-                    choices=[None, "wav2vec2", "streaming", "train"])
+                    choices=[None, "wav2vec2", "streaming", "train",
+                             "wav2vec2_bf16", "train_bf16"])
     args = ap.parse_args()
     sink = []
     print(json.dumps({"device": str(jax.devices()[0]),
@@ -320,10 +346,14 @@ def main():
                       "peak_tflops_bf16": peak_flops() / 1e12}), flush=True)
     if args.only in (None, "wav2vec2"):
         bench_wav2vec2(sink)
+    if args.only in (None, "wav2vec2_bf16"):
+        bench_wav2vec2(sink, dtype="bf16")
     if args.only in (None, "streaming"):
         bench_rnnt_streaming(sink)
     if args.only in (None, "train"):
         bench_rnnt_train(sink)
+    if args.only in (None, "train_bf16"):
+        bench_rnnt_train(sink, dtype="bf16")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(sink, f, indent=1)

@@ -30,6 +30,7 @@ import audio_tpu.functional as F
 from audio_tpu.models import emformer_rnnt_base, emformer_rnnt_model
 from audio_tpu.parallel import batch_sharding, create_mesh, replicate
 from audio_tpu.transforms import MelSpectrogram
+from audio_tpu.utils import cast_floating
 
 SAMPLE_RATE = 16000
 N_MELS = 80
@@ -169,6 +170,8 @@ def main():
     p.add_argument("--learning-rate", type=float, default=8e-4)
     p.add_argument("--warmup-steps", type=int, default=40)
     p.add_argument("--tiny", action="store_true", help="2-layer debug model")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 forward/backward with f32 master weights")
     p.add_argument("--synthetic", action="store_true", help="random data, no dataset needed")
     p.add_argument("--model-type", default="librispeech",
                    choices=("librispeech", "tedlium3", "mustc"),
@@ -244,6 +247,12 @@ def main():
     opt_state = jax.device_put(opt_state, rep)
 
     def loss_fn(params, feats, feat_lens, targets, target_lengths, key):
+        if args.bf16:
+            # bf16 compute / f32 masters: cast inside the loss so jax.grad
+            # still differentiates the f32 params; rnnt_loss cast-computes
+            # its DP in f32 for bf16 logits (audio_tpu/ops/rnnt.py).
+            params = cast_floating(params, jnp.bfloat16)
+            feats = feats.astype(jnp.bfloat16)
         tgt_in = jnp.pad(targets, ((0, 0), (1, 0)), constant_values=BLANK_FIRST_TOKEN)
         logits, src_lens, _, _ = model.apply(
             {"params": params}, feats, feat_lens, tgt_in, target_lengths + 1,

@@ -33,6 +33,15 @@ def test_emformer_rnnt_recipe():
 
 
 @pytest.mark.slow
+def test_emformer_rnnt_recipe_bf16():
+    _run(
+        f"{_REPO}/examples/asr/emformer_rnnt/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--bf16"],
+    )
+
+
+@pytest.mark.slow
 def test_hubert_recipes(tmp_path):
     _run(
         f"{_REPO}/examples/hubert/preprocess.py",

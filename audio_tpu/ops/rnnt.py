@@ -227,19 +227,26 @@ def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
     )
     g_label = jnp.where(label_in_range, g_label, 0.0)
 
-    # scatter into (B,T,U+1,V) gradient wrt log_probs: blank column plus a
-    # one-hot spread of the label gradients over the vocab axis.  Built in
-    # f32 regardless of logits dtype (cast-compute); cast back at the end.
+    # Gradient wrt log_probs as ONE fused broadcast expression over the
+    # (B,T,U+1,V) lattice: a blank-column indicator plus a one-hot spread of
+    # the label gradients.  sum_v dL/dlp is just g_blank + g_label (the only
+    # two nonzero entries per (t,u) row), so the log-softmax chain rule needs
+    # NO full-lattice reduction — the whole backward touches the lattice in
+    # a single elementwise pass (reads logits, writes grad), which is what
+    # keeps the HBM-bound tail of the train step short.  Math runs in f32
+    # regardless of logits dtype (cast-compute); cast back at the end.
     acc_dtype = jnp.promote_types(logits.dtype, jnp.float32)
-    grad_lp = jnp.zeros(logits.shape, acc_dtype)
-    grad_lp = grad_lp.at[..., blank].add(g_blank)
+    v_idx = jnp.arange(v)
+    blank_part = jnp.where(v_idx[None, None, None, :] == blank, g_blank[..., None], 0.0)
     label_onehot = jax.nn.one_hot(targets, v, dtype=acc_dtype)  # (B, U, V)
-    grad_lp = grad_lp.at[:, :, :u_max, :].add(g_label[..., None] * label_onehot[:, None, :, :])
+    onehot_p = jnp.pad(label_onehot, ((0, 0), (0, 1), (0, 0)))  # (B, U+1, V)
+    g_label_p = jnp.pad(g_label, ((0, 0), (0, 0), (0, 1)))  # (B, T, U+1)
+    grad_lp = blank_part + g_label_p[..., None] * onehot_p[:, None, :, :]
 
     if fused_log_softmax:
         # chain through log_softmax: dL/dx = dL/dlp - softmax(x) * sum_v dL/dlp
-        sum_g = jnp.sum(grad_lp, axis=-1, keepdims=True)
-        grad_logits = grad_lp - jnp.exp(log_probs) * sum_g
+        sum_g = g_blank + g_label_p  # (B, T, U+1)
+        grad_logits = grad_lp - jnp.exp(log_probs) * sum_g[..., None]
     else:
         grad_logits = grad_lp
 

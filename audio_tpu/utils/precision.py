@@ -75,22 +75,23 @@ def mixed_precision(
 ) -> Callable:
     """Wrap ``fn(params, *args, **kwargs)`` to run at ``compute_dtype``.
 
-    Params and floating args are cast to ``compute_dtype`` inside the
-    wrapper, so ``jax.grad`` of the wrapped function still produces
-    gradients in the original (master) param dtype.  With
-    ``upcast_output=True`` floating outputs are cast back to f32 — use
-    this when wrapping a *model* forward whose logits feed a numerically
-    sensitive loss.
+    Params and the floating leaves of both positional AND keyword arguments
+    are cast to ``compute_dtype`` inside the wrapper, so ``jax.grad`` of the
+    wrapped function still produces gradients in the original (master) param
+    dtype.  With ``upcast_output=True`` floating outputs are cast back to
+    f32 — use this when wrapping a *model* forward whose logits feed a
+    numerically sensitive loss.
     """
+    def _cast_tree(a):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype) if _is_float(x) else x, a
+        )
+
     @functools.wraps(fn)
     def wrapped(params, *args, **kwargs):
         params = cast_floating(params, compute_dtype, exclude=exclude)
-        args = tuple(
-            jax.tree_util.tree_map(
-                lambda x: x.astype(compute_dtype) if _is_float(x) else x, a
-            )
-            for a in args
-        )
+        args = tuple(_cast_tree(a) for a in args)
+        kwargs = {k: _cast_tree(v) for k, v in kwargs.items()}
         out = fn(params, *args, **kwargs)
         if upcast_output:
             out = jax.tree_util.tree_map(

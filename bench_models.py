@@ -19,8 +19,12 @@ swamp per-step time; see bench.py).  FLOPs come from XLA's compiled cost
 analysis of the SINGLE-step program; MFU = flops / wall / peak where peak is
 the chip's dense bf16 rate (TPU v5e: 197 TFLOP/s).
 
-Usage:  timeout 2400 python bench_models.py [--out BENCH_models.json]
-Prints one JSON line per workload.
+Usage:  timeout 3600 python bench_models.py [--out BENCH_models.json]
+Prints one JSON line per workload.  NOTE: the default (no ``--only``) run
+executes SIX benchmarks — f32 and bf16 variants of wav2vec2 inference and
+the RNN-T train step (the bf16 train step additionally at B=32), plus
+streaming — roughly ~25 min of exclusive TPU time; use ``--only`` to run a
+single workload.
 """
 
 from __future__ import annotations
@@ -244,13 +248,14 @@ def bench_rnnt_streaming(sink):
     }, sink)
 
 
-def bench_rnnt_train(sink, dtype="f32"):
+def bench_rnnt_train(sink, dtype="f32", batch=8):
     """Emformer-RNNT base train step at realistic (B, T, U, V).
 
     ``dtype="bf16"`` keeps f32 master weights + adamw state and runs the
     forward/backward in bfloat16 (`audio_tpu.utils.cast_floating` inside the
-    loss, so `jax.grad` yields f32 master grads); the (B,T,U,V) logits are
-    upcast to f32 only at the rnnt_loss boundary.
+    loss, so `jax.grad` yields f32 master grads); the (B,T,U,V) joiner
+    lattice stays bf16 in HBM (rnnt_loss cast-computes its DP in f32),
+    which is what makes ``batch`` ≥ 32 fit on one chip.
     """
     import optax
 
@@ -258,7 +263,7 @@ def bench_rnnt_train(sink, dtype="f32"):
     from audio_tpu.utils import cast_floating
 
     V = 4097
-    B, T, U = 8, 512, 64  # 5.12 s audio, 64 sentencepiece targets
+    B, T, U = batch, 512, 64  # 5.12 s audio, 64 sentencepiece targets
     RC = 4  # the encoder contract: input carries right_context_length extra
     # padded frames beyond the stated valid length (the reference recipe
     # right-pads features by 4 frames, emformer_rnnt/lightning.py:79-118)
@@ -315,11 +320,11 @@ def bench_rnnt_train(sink, dtype="f32"):
     assert bool(jnp.isfinite(losses).all()), losses
     w = timed(chain, lambda i: (params, opt_state, jax.random.PRNGKey(10 + i))) / K
     mfu = fl / w / peak_flops() if fl else None
-    suffix = "_bf16" if dtype == "bf16" else ""
+    suffix = ("_bf16" if dtype == "bf16" else "") + (f"_b{B}" if B != 8 else "")
     emit({
         "metric": f"emformer_rnnt_train_step_tokens_per_s{suffix}",
         "value": round(B * U / w, 1),
-        "unit": "target tokens/s (B=8, T=512 mel, U=64, V=4097, adamw"
+        "unit": f"target tokens/s (B={B}, T=512 mel, U=64, V=4097, adamw"
                 + (", bf16 compute / f32 masters)" if dtype == "bf16" else ")"),
         "detail": {
             "step_ms": round(w * 1e3, 1),
@@ -338,7 +343,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None,
                     choices=[None, "wav2vec2", "streaming", "train",
-                             "wav2vec2_bf16", "train_bf16"])
+                             "wav2vec2_bf16", "train_bf16", "train_bf16_b32"])
     args = ap.parse_args()
     sink = []
     print(json.dumps({"device": str(jax.devices()[0]),
@@ -354,6 +359,8 @@ def main():
         bench_rnnt_train(sink)
     if args.only in (None, "train_bf16"):
         bench_rnnt_train(sink, dtype="bf16")
+    if args.only in (None, "train_bf16_b32"):
+        bench_rnnt_train(sink, dtype="bf16", batch=32)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(sink, f, indent=1)

@@ -245,6 +245,56 @@ class RNNTBeamSearch:
         hypo = self._init_beam(beam_width) if hypothesis is None else hypothesis
         return self._search(enc_out[0], hypo, beam_width), state
 
+    # --- batched-stream API ---------------------------------------------
+    def init_beams(self, beam_width: int, n_streams: int) -> Hypothesis:
+        """An initial beam per stream: every leaf gains a leading S axis."""
+        one = self._init_beam(beam_width)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape).copy(), one)
+
+    def forward_batch(self, input: jnp.ndarray, lengths: jnp.ndarray, beam_width: int) -> Hypothesis:
+        """Offline search over a batch. input (S, T, D); equal valid lengths.
+
+        The reference decoder is architecturally single-utterance — its
+        ``forward`` asserts a batch of one and expands hypotheses in a
+        Python list with a ``.cpu()`` sync per step
+        (/root/reference/src/torchaudio/models/rnnt_decoder.py:226-265,330).
+        Here the per-stream search is ``jax.vmap``-ed: every join becomes an
+        (S, K, V) batched matmul on the MXU and ``lax.while_loop``'s batching
+        rule masks per-stream convergence, so results are identical to S
+        independent ``forward`` calls.
+        """
+        enc_out, _ = self.model.apply(
+            self.params, input, lengths, deterministic=True, method=self.model.transcribe
+        )
+        init = self.init_beams(beam_width, input.shape[0])
+        return jax.vmap(lambda e, h: self._search(e, h, beam_width))(enc_out, init)
+
+    def infer_batch(
+        self,
+        input: jnp.ndarray,
+        lengths: jnp.ndarray,
+        beam_width: int,
+        state=None,
+        hypotheses: Optional[Hypothesis] = None,
+    ) -> Tuple[Hypothesis, Any]:
+        """Streaming search step for S concurrent streams in ONE program.
+
+        input (S, T, D); ``hypotheses``/returned beams carry a leading
+        stream axis (see :meth:`init_beams`); ``state`` is the batched
+        transcriber state (the streaming encoder is natively batched).
+        Serving N live streams means calling this once per segment interval
+        with all N segments stacked — the chip sees one big program instead
+        of N serial beam searches.
+        """
+        enc_out, _, state = self.model.apply(
+            self.params, input, lengths, state, deterministic=True,
+            method=self.model.transcribe_streaming,
+        )
+        if hypotheses is None:
+            hypotheses = self.init_beams(beam_width, input.shape[0])
+        final = jax.vmap(lambda e, h: self._search(e, h, beam_width))(enc_out, hypotheses)
+        return final, state
+
     @staticmethod
     def hypo_tokens(hypo: Hypothesis, i: int = 0) -> List[int]:
         """Extract the i-th hypothesis' emitted tokens as a python list."""

@@ -91,6 +91,47 @@ class TestRNNTBeamSearch:
         assert isinstance(tokens, list)
         assert np.isfinite(float(hypo.scores[0]))
 
+    def test_forward_batch_matches_per_stream(self, decoders):
+        """vmap-batched offline search == S independent forward calls."""
+        _, j_dec, _ = decoders
+        rng = np.random.default_rng(7)
+        t_len = CFG["segment_length"] + CFG["right_context_length"]
+        s = 3
+        x = jnp.asarray(rng.standard_normal((s, t_len, CFG["input_dim"])).astype(np.float32))
+        lens = jnp.full((s,), t_len, jnp.int32)
+
+        batched = jax.jit(lambda inp, ln: j_dec.forward_batch(inp, ln, 4))(x, lens)
+        for i in range(s):
+            single = j_dec.forward(x[i], jnp.asarray(t_len), 4)
+            np.testing.assert_array_equal(np.asarray(batched.tokens[i]), np.asarray(single.tokens))
+            np.testing.assert_array_equal(np.asarray(batched.counts[i]), np.asarray(single.counts))
+            np.testing.assert_allclose(np.asarray(batched.scores[i]), np.asarray(single.scores),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_infer_batch_matches_per_stream(self, decoders):
+        """Batched streaming (carried state+beam) == per-stream infer chains."""
+        _, j_dec, _ = decoders
+        rng = np.random.default_rng(8)
+        seg = CFG["segment_length"] + CFG["right_context_length"]
+        s, n_segments = 3, 2
+        segs = [jnp.asarray(rng.standard_normal((s, seg, CFG["input_dim"])).astype(np.float32))
+                for _ in range(n_segments)]
+        lens = jnp.full((s,), seg, jnp.int32)
+
+        step = jax.jit(lambda inp, h, st: j_dec.infer_batch(inp, lens, 4, st, h))
+        hypos, state = None, None
+        for x in segs:
+            hypos, state = step(x, hypos, state)
+
+        for i in range(s):
+            h1, st1 = None, None
+            for x in segs:
+                h1, st1 = j_dec.infer(x[i], jnp.asarray(seg), 4, st1, h1)
+            np.testing.assert_array_equal(np.asarray(hypos.tokens[i]), np.asarray(h1.tokens))
+            np.testing.assert_array_equal(np.asarray(hypos.counts[i]), np.asarray(h1.counts))
+            np.testing.assert_allclose(np.asarray(hypos.scores[i]), np.asarray(h1.scores),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_search_is_jittable(self, decoders):
         _, j_dec, _ = decoders
         rng = np.random.default_rng(6)

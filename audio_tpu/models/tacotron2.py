@@ -166,13 +166,24 @@ class Tacotron2(nn.Module):
                 x = jnp.where(keep, x / 0.5, 0.0)
         return x, dropout_rng
 
-    def _postnet(self, x):
-        # x: (B, n_mels, T) -> channels-last
+    def _postnet(self, x, n_frames=None):
+        # x: (B, n_mels, T) -> channels-last.  ``n_frames`` (scalar) emulates
+        # the reference operating on an array TRUNCATED to n_frames steps
+        # (tacotron2.py infer truncates at the gate stop before the postnet):
+        # frames >= n_frames are re-zeroed after every conv so each layer
+        # sees the same zero padding a shorter array would have.  XLA static
+        # shapes make truncation itself impossible under jit.
         y = jnp.swapaxes(x, 1, 2)
+        tmask = None
+        if n_frames is not None:
+            tmask = (jnp.arange(y.shape[1]) < n_frames)[None, :, None]
+            y = jnp.where(tmask, y, 0.0)
         for i, (conv, bn) in enumerate(zip(self.postnet_convs, self.postnet_bns)):
             y = bn(conv(y))
             if i < self.postnet_n_convolution - 1:
                 y = jnp.tanh(y)
+            if tmask is not None:
+                y = jnp.where(tmask, y, 0.0)
         return jnp.swapaxes(y, 1, 2)
 
     def _attend(self, attention_hidden, memory, processed_memory, attention_weights_cat, mask):
@@ -302,7 +313,13 @@ class Tacotron2(nn.Module):
             step, (state, mel0, finished0, out_len0), keys
         )
         mel_out = jnp.swapaxes(jnp.moveaxis(mels, 0, 1), 1, 2)  # (B, n_mels, S)
-        mel_out = mel_out + self._postnet(mel_out)
+        # the reference loop stops once EVERY gate has fired (only when
+        # decoder_early_stopping) and truncates the mel there
+        # (tacotron2.py:843-858); frames past that step are padding here, so
+        # zero them and give the postnet the truncated-array view
+        n_frames = jnp.max(out_len) if self.decoder_early_stopping else steps
+        mel_out = jnp.where((jnp.arange(steps) < n_frames)[None, None, :], mel_out, 0.0)
+        mel_out = mel_out + self._postnet(mel_out, n_frames)
         aligns = jnp.moveaxis(aligns, 0, 1)
         return mel_out, out_len, aligns
 

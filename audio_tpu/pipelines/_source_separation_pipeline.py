@@ -69,14 +69,14 @@ CONVTASNET_BASE_LIBRI2MIX = SourceSeparationBundle(
 CONVTASNET_BASE_LIBRI2MIX.__doc__ = "ConvTasNet trained on Libri2Mix (reference checkpoint)."
 
 HDEMUCS_HIGH_MUSDB = SourceSeparationBundle(
-    _model_path="models/hdemucs_high_trained.pt",
+    _model_path="models/hdemucs_high_musdbhq_only.pt",
     _model_factory_func=_hdemucs_high,
     _sample_rate=44100,
 )
 HDEMUCS_HIGH_MUSDB.__doc__ = "HDemucs (high band) trained on MUSDB-HQ (reference checkpoint)."
 
 HDEMUCS_HIGH_MUSDB_PLUS = SourceSeparationBundle(
-    _model_path="models/hdemucs_high_musdbhq_plus.pt",
+    _model_path="models/hdemucs_high_trained.pt",
     _model_factory_func=_hdemucs_high,
     _sample_rate=44100,
 )

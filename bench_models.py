@@ -21,10 +21,10 @@ the chip's dense bf16 rate (TPU v5e: 197 TFLOP/s).
 
 Usage:  timeout 3600 python bench_models.py [--out BENCH_models.json]
 Prints one JSON line per workload.  NOTE: the default (no ``--only``) run
-executes SIX benchmarks — f32 and bf16 variants of wav2vec2 inference and
+executes SEVEN benchmarks — f32 and bf16 variants of wav2vec2 inference and
 the RNN-T train step (the bf16 train step additionally at B=32), plus
-streaming — roughly ~25 min of exclusive TPU time; use ``--only`` to run a
-single workload.
+single-stream and 128-stream-batched streaming — roughly ~30 min of
+exclusive TPU time; use ``--only`` to run a single workload.
 """
 
 from __future__ import annotations
@@ -248,6 +248,83 @@ def bench_rnnt_streaming(sink):
     }, sink)
 
 
+def bench_rnnt_streaming_batch(sink, n_streams=128):
+    """N concurrent streaming sessions per chip, ONE program per segment tick.
+
+    ``RNNTBeamSearch.infer_batch`` vmaps the whole per-frame beam expansion
+    over a leading stream axis, so serving N live streams costs one batched
+    encoder step + one batched search per 0.16 s segment interval — versus
+    the reference decoder, which is architecturally single-stream and syncs
+    to host per expansion (/root/reference/src/torchaudio/models/rnnt_decoder.py:226-265).
+    Reported: streams/chip at RTF<=0.1 (chip busy <=10% of real time per
+    stream), i.e. ``n_streams * seg_seconds * 0.1 / wall_per_tick``.
+    """
+    from audio_tpu.models.rnnt_decoder import RNNTBeamSearch
+
+    V = 4097
+    model = _rnnt_base(V)
+    rng = np.random.default_rng(7)
+    S, SEG_T, D_IN, SEG_SECONDS = n_streams, 20, 80, 0.16
+    feats = jnp.asarray(rng.standard_normal((S, SEG_T, D_IN)).astype(np.float32))
+    lengths = jnp.full((S,), SEG_T, jnp.int32)
+    tgt = jnp.zeros((1, 1), jnp.int32)
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), feats[:1], lengths[:1], tgt, jnp.ones((1,), jnp.int32),
+        deterministic=True,
+    )
+    jb = params["params"]["joiner"]["linear"]["bias"]
+    params["params"]["joiner"]["linear"]["bias"] = jb.at[-1].add(4.0)
+
+    BEAM = 10
+
+    def _decoder(params):
+        return RNNTBeamSearch(model, params, blank=V - 1, step_max_tokens=10,
+                              max_tokens=200)
+
+    def tick(params, feats, hypos, state):
+        return _decoder(params).infer_batch(feats, lengths, BEAM, state=state,
+                                            hypotheses=hypos)
+
+    jitted = jax.jit(tick)
+    hypos0 = jax.jit(lambda p: _decoder(p).init_beams(BEAM, S))(params)
+    hypos0, state0 = jax.block_until_ready(jitted(params, feats, hypos0, None))
+    fl = flops_of(jax.jit(tick), params, feats, hypos0, state0)
+
+    K = 8
+
+    @jax.jit
+    def chain(params, feats, hypos, state):
+        dec = _decoder(params)
+
+        def body(carry, _):
+            f, h, s = carry
+            h, s = dec.infer_batch(f, lengths, BEAM, state=s, hypotheses=h)
+            bump = (jnp.sum(h.scores) * 1e-12).astype(f.dtype)
+            return (f + bump, h, s), None
+        (f, h, s), _ = jax.lax.scan(body, (feats, hypos, state), None, length=K)
+        return h.scores
+
+    w = timed(chain, lambda i: (params, feats * (1.0 + 1e-6 * (i + 2)), hypos0, state0)) / K
+    mfu = fl / w / peak_flops() if fl else None
+    streams_rtf01 = S * SEG_SECONDS * 0.1 / w
+    emit({
+        "metric": "streaming_streams_per_chip_rtf0.1",
+        "value": round(streams_rtf01, 1),
+        "unit": f"concurrent streaming beam-10 sessions at RTF<=0.1 ({S} batched)",
+        "detail": {
+            "batched_streams": S,
+            "wall_ms_per_segment_tick": round(w * 1e3, 2),
+            "rtf_per_stream": round(w / (S * SEG_SECONDS), 5),
+            "streams_rtf1": round(S * SEG_SECONDS / w, 1),
+            "ms_per_stream_segment": round(w * 1e3 / S, 3),
+            "flops_per_tick": fl,
+            "mfu": round(mfu, 4) if mfu else None,
+            "params_m": 76.7, "beam_width": BEAM,
+            "device": str(jax.devices()[0]),
+        },
+    }, sink)
+
+
 def bench_rnnt_train(sink, dtype="f32", batch=8):
     """Emformer-RNNT base train step at realistic (B, T, U, V).
 
@@ -342,8 +419,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None,
-                    choices=[None, "wav2vec2", "streaming", "train",
-                             "wav2vec2_bf16", "train_bf16", "train_bf16_b32"])
+                    choices=[None, "wav2vec2", "streaming", "streaming_batch",
+                             "train", "wav2vec2_bf16", "train_bf16",
+                             "train_bf16_b32"])
     args = ap.parse_args()
     sink = []
     print(json.dumps({"device": str(jax.devices()[0]),
@@ -355,6 +433,8 @@ def main():
         bench_wav2vec2(sink, dtype="bf16")
     if args.only in (None, "streaming"):
         bench_rnnt_streaming(sink)
+    if args.only in (None, "streaming_batch"):
+        bench_rnnt_streaming_batch(sink)
     if args.only in (None, "train"):
         bench_rnnt_train(sink)
     if args.only in (None, "train_bf16"):

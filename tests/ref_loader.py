@@ -61,6 +61,7 @@ def load_reference_torchaudio() -> types.ModuleType:
 
     internal = types.ModuleType("torchaudio._internal")
     internal.load_state_dict_from_url = _not_downloaded
+    internal.download_url_to_file = _not_downloaded
     internal.module_utils = _file_module(
         "torchaudio._internal.module_utils", f"{_BASE}/_internal/module_utils.py"
     )
@@ -134,6 +135,10 @@ def load_reference_torchaudio() -> types.ModuleType:
     hdemucs = _file_module("torchaudio.models._hdemucs", f"{_BASE}/models/_hdemucs.py")
     models.HDemucs = hdemucs.HDemucs
     models.hdemucs_high = hdemucs.hdemucs_high
+    taco = _file_module("torchaudio.models.tacotron2", f"{_BASE}/models/tacotron2.py")
+    models.Tacotron2 = taco.Tacotron2
+    wavernn = _file_module("torchaudio.models.wavernn", f"{_BASE}/models/wavernn.py")
+    models.WaveRNN = wavernn.WaveRNN
 
     # --- pipelines ----------------------------------------------------------
     pipelines = types.ModuleType("torchaudio.pipelines")
@@ -159,6 +164,15 @@ def load_reference_torchaudio() -> types.ModuleType:
         f"{_BASE}/pipelines/_source_separation_pipeline.py",
     )
     pipelines._source_separation_pipeline = ss_pipe
+
+    tts_base = f"{_BASE}/pipelines/_tts"
+    tts = types.ModuleType("torchaudio.pipelines._tts")
+    tts.__path__ = [tts_base]
+    sys.modules["torchaudio.pipelines._tts"] = tts
+    for mod in ("utils", "interface", "impl"):
+        m = _file_module(f"torchaudio.pipelines._tts.{mod}", f"{tts_base}/{mod}.py")
+        setattr(tts, mod, m)
+    pipelines._tts = tts
 
     _LOADED["torchaudio"] = ta
     return ta

@@ -324,8 +324,238 @@ class TestSquimContract:
 
 
 # =========================================================================
+# TTS family (text processor -> Tacotron2 -> vocoder)
+# =========================================================================
+
+# tiny configs chained so tacotron's n_mels == wavernn's n_freq
+_TINY_TACO = dict(
+    n_mels=16,
+    n_symbol=38,  # the char processor's inventory
+    symbol_embedding_dim=16,
+    encoder_embedding_dim=16,
+    encoder_n_convolution=2,
+    encoder_kernel_size=3,
+    decoder_rnn_dim=24,
+    decoder_max_step=30,
+    decoder_dropout=0.0,
+    attention_rnn_dim=24,
+    attention_hidden_dim=8,
+    attention_location_n_filter=4,
+    attention_location_kernel_size=5,
+    attention_dropout=0.0,
+    prenet_dim=8,
+    postnet_n_convolution=3,
+    postnet_kernel_size=3,
+    postnet_embedding_dim=16,
+)
+
+_TINY_WRNN = dict(
+    upsample_scales=[2, 2, 5],
+    n_classes=256,
+    hop_length=20,
+    n_res_block=2,
+    n_rnn=32,
+    n_fc=32,
+    kernel_size=5,
+    n_freq=16,
+    n_hidden=16,
+    n_output=16,
+)
+
+
+class TestTTSBundleContract:
+    """Full TTS chain under shared random weights vs the reference bundles
+    (/root/reference/src/torchaudio/pipelines/_tts/impl.py:25-207).
+
+    Determinism shims (both sides, identical semantics): torch dropout -> id
+    and ``prenet_dropout=False`` (the reference keeps prenet dropout on at
+    inference); greedy sampling in WaveRNN (argmax instead of multinomial /
+    categorical); rand_init phases fixed to 1 for Griffin-Lim.
+    """
+
+    def _make_shared(self, ref_ta, monkeypatch, taco_cfg):
+        torch.manual_seed(61)
+        t_taco = ref_ta.models.Tacotron2(**taco_cfg)
+        t_taco.eval()
+        t_wrnn = ref_ta.models.WaveRNN(**_TINY_WRNN)
+        t_wrnn.eval()
+        sds = {
+            "taco.pth": t_taco.state_dict(),
+            "wrnn.pth": t_wrnn.state_dict(),
+        }
+
+        def fake_url_load(url, **kw):
+            return sds[url.rsplit("/", 1)[-1]]
+
+        monkeypatch.setattr(
+            ref_ta.pipelines._tts.impl, "load_state_dict_from_url", fake_url_load
+        )
+        sd_np = {
+            name: {k: v.numpy().copy() for k, v in sd.items()}
+            for name, sd in sds.items()
+        }
+        # determinism: dropout off everywhere, greedy sampling
+        monkeypatch.setattr(torch.nn.functional, "dropout", lambda x, *a, **k: x)
+        monkeypatch.setattr(
+            torch, "multinomial",
+            lambda probs, n, **kw: torch.argmax(probs, dim=-1, keepdim=True),
+        )
+        import jax
+        monkeypatch.setattr(
+            jax.random, "categorical",
+            lambda key, logits, axis=-1, **kw: jnp.argmax(logits, axis=axis),
+        )
+        return sd_np
+
+    @pytest.fixture()
+    def shared(self, ref_ta, monkeypatch):
+        return self._make_shared(ref_ta, monkeypatch, _TINY_TACO)
+
+    def _bundles(self, ref_ta, vocoder: str, taco_cfg=None):
+        ref_impl = ref_ta.pipelines._tts.impl
+        import audio_tpu.pipelines._tts as our_impl
+
+        taco_kw = dict(_tacotron2_path="taco.pth",
+                       _tacotron2_params=dict(taco_cfg or _TINY_TACO))
+        if vocoder == "wavernn":
+            kw = dict(taco_kw, _wavernn_path="wrnn.pth", _wavernn_params=dict(_TINY_WRNN))
+            return (
+                ref_impl._Tacotron2WaveRNNCharBundle(**kw),
+                our_impl._Tacotron2WaveRNNCharBundle(
+                    **{**kw, "_wavernn_params": dict(_TINY_WRNN, upsample_scales=(2, 2, 5))}
+                ),
+            )
+        return (
+            ref_impl._Tacotron2GriffinLimCharBundle(**taco_kw),
+            our_impl._Tacotron2GriffinLimCharBundle(**taco_kw),
+        )
+
+    def _run_tacotron(self, ref_b, our_b, sd_np, text):
+        ref_proc = ref_b.get_text_processor()
+        our_proc = our_b.get_text_processor()
+        assert ref_proc.tokens == our_proc.tokens
+        t_tok, t_len = ref_proc(text)
+        j_tok, j_len = our_proc(text)
+        np.testing.assert_array_equal(np.asarray(j_tok), t_tok.numpy())
+        np.testing.assert_array_equal(np.asarray(j_len), t_len.numpy())
+
+        ref_taco = ref_b.get_tacotron2(dl_kwargs={})
+        with torch.no_grad():
+            t_mel, t_mlen, _ = ref_taco.infer(t_tok, t_len)
+        our_taco = our_b.get_tacotron2(dl_kwargs={"state_dict": sd_np["taco.pth"]})
+        j_mel, j_mlen, _ = our_taco.infer(j_tok, j_len, prenet_dropout=False)
+        # XLA static shapes: our mel is padded to decoder_max_step; the valid
+        # region (reference truncates at the gate stop) must agree frame for
+        # frame, and the gate-stop lengths must match exactly
+        t_steps = t_mel.shape[-1]
+        np.testing.assert_array_equal(np.asarray(j_mlen), t_mlen.numpy())
+        np.testing.assert_allclose(
+            np.asarray(j_mel)[..., :t_steps], t_mel.numpy(), atol=2e-3, rtol=1e-2
+        )
+        return (t_mel, t_mlen), (j_mel, j_mlen)
+
+    def test_wavernn_chain(self, ref_ta, shared):
+        ref_b, our_b = self._bundles(ref_ta, "wavernn")
+        (t_mel, t_mlen), (j_mel, j_mlen) = self._run_tacotron(
+            ref_b, our_b, shared, "hello tpu world"
+        )
+        ref_voc = ref_b.get_vocoder(dl_kwargs={})
+        with torch.no_grad():
+            t_wav, t_wlen = ref_voc(t_mel, t_mlen)
+        our_voc = our_b.get_vocoder(dl_kwargs={"state_dict": shared["wrnn.pth"]})
+        # feed the SAME mel to both vocoders: greedy autoregressive label
+        # sequences are discrete, so the ~1e-4 tacotron mel difference
+        # (already asserted above) could otherwise flip an argmax and diverge
+        j_wav, j_wlen = our_voc(jnp.asarray(t_mel.numpy()), jnp.asarray(t_mlen.numpy()))
+        assert ref_voc.sample_rate == our_voc.sample_rate == 22050
+        np.testing.assert_array_equal(np.asarray(j_wlen), t_wlen.numpy())
+        assert np.asarray(j_wav).shape == tuple(t_wav.shape)
+        # greedy autoregressive sampling: identical mu-law label sequences
+        np.testing.assert_allclose(np.asarray(j_wav), t_wav.numpy(), atol=1e-5)
+
+    def test_griffinlim_chain(self, ref_ta, monkeypatch):
+        import audio_tpu.pipelines._tts as our_impl
+        from audio_tpu.transforms import GriffinLim as OurGL
+
+        # the reference InverseMelScale is built with n_mels=80 (impl.py:104);
+        # early stopping off: random-weight gates fire after 1 frame, which is
+        # shorter than one 1024-point istft window
+        taco80 = dict(_TINY_TACO, n_mels=80, decoder_early_stopping=False)
+        shared = self._make_shared(ref_ta, monkeypatch, taco80)
+        # pin phase init to 1 on both sides (the bundles use rand_init)
+        monkeypatch.setattr(
+            torch, "rand", lambda *s, **kw: torch.ones(*s, **kw)
+        )
+        monkeypatch.setattr(
+            our_impl, "GriffinLim",
+            lambda **kw: OurGL(**{**kw, "rand_init": False}),
+        )
+        ref_b, our_b = self._bundles(ref_ta, "griffinlim", taco_cfg=taco80)
+        (t_mel, t_mlen), (j_mel, j_mlen) = self._run_tacotron(
+            ref_b, our_b, shared, "a tpu speaks"
+        )
+        ref_voc = ref_b.get_vocoder()
+        with torch.no_grad():
+            t_wav, _ = ref_voc(t_mel, t_mlen)
+            t_spec = ref_voc._inv_mel(torch.exp(t_mel.clone()))
+        our_voc = our_b.get_vocoder()
+        # same mel to both vocoders (our tacotron mel is max-step padded;
+        # the valid region was asserted equal in _run_tacotron)
+        j_wav, _ = our_voc(jnp.asarray(t_mel.numpy()), jnp.asarray(t_mlen.numpy()))
+        assert ref_voc.sample_rate == our_voc.sample_rate == 22050
+        assert np.asarray(j_wav).shape == tuple(t_wav.shape)
+        # also assert the in-bundle InverseMelScale solves identically
+        j_spec = our_voc._inv_mel(jnp.exp(jnp.asarray(t_mel.numpy())))
+        np.testing.assert_allclose(np.asarray(j_spec), t_spec.numpy(),
+                                   atol=1e-3, rtol=1e-3)
+        # Griffin-Lim phase retrieval is multi-stable on these rank-deficient
+        # inverse-mel spectra (bins above f_max are exactly zero, and
+        # x/(|x|+eps) near zero is sign-chaotic), so bitwise waveform
+        # comparison is unsound; the CONTRACT is that both reconstructions
+        # explain the target magnitude spectrogram equally well.
+        import audio_tpu.transforms as T2
+
+        sp = T2.Spectrogram(n_fft=1024, hop_length=256, win_length=1024, power=1)
+        tgt = t_spec.numpy()
+
+        def rel_err(wav):
+            m = np.asarray(sp(jnp.asarray(wav)))
+            t = tgt[..., : m.shape[-1]]
+            return float(np.linalg.norm(m - t) / np.linalg.norm(t))
+
+        e_ref = rel_err(t_wav.numpy())
+        e_ours = rel_err(np.asarray(j_wav))
+        assert abs(e_ref - e_ours) < 0.02, (e_ref, e_ours)
+
+
+# =========================================================================
 # Source separation family
 # =========================================================================
+
+_TINY_HDEMUCS = dict(
+    sources=["drums", "bass"],
+    audio_channels=1,
+    channels=4,
+    growth=2,
+    nfft=256,
+    depth=4,
+    freq_emb=0.2,
+    emb_scale=10,
+    emb_smooth=True,
+    kernel_size=8,
+    time_stride=2,
+    stride=4,
+    context=1,
+    context_enc=0,
+    norm_starts=2,
+    norm_groups=2,
+    dconv_depth=2,
+    dconv_comp=4,
+    dconv_attn=2,
+    dconv_lstm=3,
+    dconv_init=1e-4,
+)
+
 
 class TestSourceSeparationContract:
     def test_conv_tasnet_bundle(self, ref_ta, tmp_path, monkeypatch):
@@ -349,3 +579,52 @@ class TestSourceSeparationContract:
         np.testing.assert_allclose(
             np.asarray(our_sources), ref_sources.numpy(), atol=5e-3
         )
+
+    def test_hdemucs_bundle(self, ref_ta, tmp_path, monkeypatch):
+        """HDemucs separation through the BUNDLE plumbing (mix -> sources),
+        tiny factory on both sides with shared torch weights
+        (/root/reference/src/torchaudio/pipelines/_source_separation_pipeline.py:81-109)."""
+        torch.manual_seed(51)
+        tmodel = ref_ta.models.HDemucs(**_TINY_HDEMUCS)
+        tmodel.eval()
+        torch.save(tmodel.state_dict(), tmp_path / "hd.pt")
+        monkeypatch.setattr(ref_ta.utils, "_download_asset",
+                            lambda key: str(tmp_path / "hd.pt"))
+
+        ref_bundle = ref_ta.pipelines._source_separation_pipeline.SourceSeparationBundle(
+            _model_path="models/hd.pt",
+            _model_factory_func=lambda: ref_ta.models.HDemucs(**_TINY_HDEMUCS),
+            _sample_rate=44100,
+        )
+        from audio_tpu.models.hdemucs import HDemucs, import_hdemucs_state_dict
+        from audio_tpu.pipelines._source_separation_pipeline import SourceSeparationBundle
+
+        our_bundle = SourceSeparationBundle(
+            _model_path="models/hd.pt",
+            _model_factory_func=lambda: (
+                HDemucs(**{**_TINY_HDEMUCS, "sources": tuple(_TINY_HDEMUCS["sources"])}),
+                import_hdemucs_state_dict,
+            ),
+            _sample_rate=44100,
+        )
+        assert ref_bundle.sample_rate == our_bundle.sample_rate
+
+        mix = _wave((2, 1, 4000), seed=7, scale=0.3)
+        with torch.no_grad():
+            ref_sources = ref_bundle.get_model()(torch.from_numpy(mix))
+        sd_np = {k: v.numpy().copy() for k, v in tmodel.state_dict().items()}
+        our_sources = our_bundle.get_model(dl_kwargs={"state_dict": sd_np})(mix)
+        assert np.asarray(our_sources).shape == tuple(ref_sources.shape) == (2, 2, 1, 4000)
+        np.testing.assert_allclose(
+            np.asarray(our_sources), ref_sources.numpy(), atol=1e-3, rtol=1e-3
+        )
+
+    def test_hdemucs_bundle_paths_match_reference(self, ref_ta):
+        """Checkpoint keys of the shipped HDemucs bundles match the reference
+        (MUSDB -> musdbhq_only, MUSDB_PLUS -> trained)."""
+        for name in ("HDEMUCS_HIGH_MUSDB", "HDEMUCS_HIGH_MUSDB_PLUS",
+                     "CONVTASNET_BASE_LIBRI2MIX"):
+            ref_b = getattr(ref_ta.pipelines._source_separation_pipeline, name)
+            our_b = getattr(P, name)
+            assert our_b._model_path == ref_b._model_path, name
+            assert our_b.sample_rate == ref_b.sample_rate, name

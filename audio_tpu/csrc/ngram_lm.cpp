@@ -76,10 +76,22 @@ inline uint64_t CombineWordHash(uint64_t current, uint32_t next) {
          (uint64_t(1 + next) * 17894857484156487943ULL);
 }
 
+// KenLM's n-gram key, exactly as the query path builds it
+// (lm/model.cc ScoreExceptBackoff): seed with the RAW id of the NEWEST
+// word, then fold the remaining words newest-to-oldest.  ids[] here is
+// oldest-first, so iterate backwards from ids[n-2].
 inline uint64_t HashIds(const uint32_t* ids, size_t n) {
-  uint64_t h = 0;
-  for (size_t i = 0; i < n; ++i) h = CombineWordHash(h, ids[i]);
+  if (n == 0) return 0;
+  uint64_t h = ids[n - 1];
+  for (size_t i = n - 1; i-- > 0;) h = CombineWordHash(h, ids[i]);
   return h;
+}
+
+// util::ProbingHashTable::Size bucket count: f32 product, truncating cast,
+// and always at least one spare empty slot.
+inline uint64_t ProbingBuckets(uint64_t entries, float multiplier) {
+  return std::max(entries + 1,
+                  (uint64_t)(multiplier * static_cast<float>(entries)));
 }
 
 // --- model ----------------------------------------------------------------
@@ -273,19 +285,24 @@ constexpr char kMagicBeforeVersion[] = "mmap lm http://kheafield.com/code format
 
 inline uint64_t Align8(uint64_t v) { return (v + 7) & ~7ULL; }
 
-// Layout written by build_binary_lm (and by KenLM's probing build):
-//   Sanity (88 B): magic[56] zero-padded; float 0,1,-0.5; u32 1,0xffffffff;
-//                  4 B pad; u64 1
+// KenLM's probing layout (lm/binary_format.cc Sanity+FixedWidthParameters,
+// lm/vocab.cc ProbingVocabulary, lm/search_hashed.hh), as written by
+// build_binary probing and by audio_tpu's build_binary_lm:
+//   Sanity (88 B): magic[60] ("...format version 5\n" NUL-padded);
+//                  f32 0,1,-0.5; u32 1,0xffffffff; u64 1
 //   FixedWidthParameters (20 B): u8 order, pad3, f32 probing_multiplier,
 //                  u32 model_type, u8 has_vocabulary, pad3, u32 search_version
 //   u64 counts[order]; header zero-padded to 8
-//   Vocab: u64 version, u64 bound, then probing table
-//          {u64 murmur(word), u32 id, u32 pad} x buckets (empty key = 0)
-//   Unigrams: {f32 prob, f32 backoff} x (bound + 1), indexed by id
-//   Middle order o in 2..order-1: {u64 hash, f32 prob, f32 backoff} x buckets
-//   Longest: {u64 hash, f32 prob, u32 pad} x buckets
-// buckets = ceil(count * probing_multiplier); probe from hash % buckets with
-// wraparound; hash of (w0..wk) = fold of CombineWordHash from 0.
+//   Vocab: u64 version(0), u64 bound(=vocab size), then probing table sized
+//          for counts[0] entries of {u64 murmur(word), u32 id, u32 pad}
+//          (empty key = 0; the "<unk>" string is not inserted, id 0)
+//   Unigrams: {f32 prob, f32 backoff} x (counts[0] + 1), indexed by id
+//   Middle order o in 2..order-1: {u64 key, f32 prob, f32 backoff} x buckets
+//   Longest: {u64 key, f32 prob, u32 pad} x buckets
+//   (has_vocabulary builds append the word strings after the tables; they
+//   are not needed here and are ignored)
+// buckets = ProbingBuckets(counts[o-1]); probe from key % buckets with
+// wraparound; key = HashIds (newest-seeded reversed CombineWordHash fold).
 bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
   if (data.size() < 128) {
     *err = "file too small for a KenLM binary header";
@@ -348,7 +365,9 @@ bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
     *err = "implausible vocabulary bound in KenLM binary";
     return false;
   }
-  uint64_t vbuckets = (uint64_t)std::ceil((double)bound * (double)multiplier);
+  // the vocab table is sized for counts[0] entries (lm/vocab.cc sizes it
+  // from the unigram count, not from bound)
+  uint64_t vbuckets = ProbingBuckets(counts[0], multiplier);
   if (!need(vbuckets * 16)) return false;
   for (uint64_t i = 0; i < vbuckets; ++i) {
     uint64_t key;
@@ -359,8 +378,9 @@ bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
   }
   off += Align8(vbuckets * 16);
 
-  // unigrams, indexed by id, bound + 1 entries of {f32 prob, f32 backoff}
-  uint64_t n_uni = bound + 1;
+  // unigrams indexed by id: counts[0] + 1 slots of {f32 prob, f32 backoff}
+  // (KenLM's Unigram::Size allocates one spare slot)
+  uint64_t n_uni = counts[0] + 1;
   if (!need(n_uni * 8)) return false;
   lm->unigrams.resize(n_uni);
   lm->unigram_valid.assign(n_uni, 1);
@@ -374,7 +394,7 @@ bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
 
   // middles + longest
   for (int o = 2; o <= lm->order; ++o) {
-    uint64_t buckets = (uint64_t)std::ceil((double)counts[o - 1] * (double)multiplier);
+    uint64_t buckets = ProbingBuckets(counts[o - 1], multiplier);
     if (!need(buckets * 16)) return false;
     auto& dst = lm->higher[o - 2];
     dst.reserve(counts[o - 1] * 2);

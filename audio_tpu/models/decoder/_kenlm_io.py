@@ -3,20 +3,49 @@
 The reference consumes KenLM binaries through flashlight
 (/root/reference/src/torchaudio/models/decoder/_ctc_decoder.py:50-62);
 audio_tpu reads them natively (csrc/ngram_lm.cpp).  This module is the
-matching writer — the equivalent of KenLM's ``build_binary probing`` — so
-ARPA models can be converted once and loaded fast thereafter.  Reader and
-writer share the layout documented in ngram_lm.cpp; the round-trip
-(ARPA decode == binary decode) is asserted in tests/models/test_decoder_kenlm.py.
+matching writer — the equivalent of KenLM's ``build_binary probing``.
+
+The layout follows KenLM's own structures (lm/binary_format.cc Sanity +
+FixedWidthParameters, lm/vocab.cc ProbingVocabulary, lm/search_hashed.hh
+hashed search, util/probing_hash_table.hh):
+
+* Sanity (88 B): 60-byte magic field ("mmap lm http://kheafield.com/code
+  format version 5\\n" + NUL padding), f32 {0, 1, -0.5}, u32 {1,
+  0xffffffff}, u64 1.
+* FixedWidthParameters (20 B): u8 order, f32 probing_multiplier,
+  u32 model_type (PROBING = 0), u8 has_vocabulary, u32 search_version (0);
+  then u64 counts[order]; header padded to 8.
+* Vocab: {u64 version=0, u64 bound=vocab_size} then a probing table sized
+  for counts[0] entries of {u64 MurmurHash64A(word, seed=0), u32 id, pad}.
+  ``<unk>`` is id 0 and its string is NOT inserted (KenLM convention).
+* Unigrams: (counts[0] + 1) x {f32 prob, f32 backoff} indexed by id
+  (KenLM's Unigram::Size allocates one spare slot).
+* Middle orders o in 2..order-1: probing tables of {u64 key, f32 prob,
+  f32 backoff}; longest order: {u64 key, f32 prob, pad}.
+
+Probing-table geometry matches util::ProbingHashTable::Size exactly:
+``buckets = max(entries + 1, uint64(float32(multiplier) * float32(entries)))``
+(truncating f32 product — NOT ceil), ideal slot = key % buckets, linear
+probing with wraparound, key 0 marks an empty slot.
+
+The n-gram key is KenLM's query-path hash (lm/model.cc ScoreExceptBackoff +
+lm/search_hashed.hh CombineWordHash): seed with the RAW id of the newest
+word, then fold the remaining words newest-to-oldest through
+``h = (h * 8978948897894561157) ^ ((1 + id) * 17894857484156487943)``.
+
+tests/models/test_decoder_kenlm.py asserts the ARPA decode == binary decode
+round trip AND byte/score conformance against a fixture hand-built from
+this spec independently of this writer.
 """
 
 from __future__ import annotations
 
-import math
 import struct
 
 __all__ = ["build_binary_lm"]
 
-_MAGIC = b"mmap lm http://kheafield.com/code format version 5\n\x00"
+_MAGIC_FIELD = b"mmap lm http://kheafield.com/code format version 5\n" + b"\x00" * 9
+assert len(_MAGIC_FIELD) == 60
 
 
 def _murmur64a(data: bytes, seed: int = 0) -> int:
@@ -51,25 +80,34 @@ def _combine(current: int, next_id: int) -> int:
 
 
 def _hash_ids(ids) -> int:
-    h = 0
-    for i in ids:
-        h = _combine(h, i)
+    """KenLM n-gram key: raw newest-word id, fold the rest reversed."""
+    h = ids[-1]
+    for i in range(len(ids) - 2, -1, -1):
+        h = _combine(h, ids[i])
     return h
 
 
-def _probing_table(entries, payload_fmt, multiplier):
-    """entries: list of (key, payload-tuple).  Returns packed bytes.
+def _n_buckets(entries: int, multiplier: float) -> int:
+    """util::ProbingHashTable::Size — f32 product, truncating cast."""
+    import numpy as np
 
-    Linear probing from ``key % buckets`` with wraparound; empty key = 0
-    (matching ngram_lm.cpp's reader and KenLM's util::ProbingHashTable).
-    """
-    buckets = max(1, math.ceil(len(entries) * multiplier)) if entries else 0
+    return max(entries + 1, int(np.float32(multiplier) * np.float32(entries)))
+
+
+def _probing_table(entries, n_slots_for: int, payload_fmt, multiplier):
+    """entries: list of (key, payload-tuple); table sized for n_slots_for."""
+    buckets = _n_buckets(n_slots_for, multiplier)
     entry_size = 8 + struct.calcsize(payload_fmt)
     table = bytearray(buckets * entry_size)
     occupied = [False] * buckets
     for key, payload in entries:
         if key == 0:
-            key = 1  # 0 marks empty slots; remap (vanishingly rare)
+            # 0 marks empty slots in KenLM's probing tables; a real key of 0
+            # (a 2^-64 murmur/chain coincidence) cannot be represented
+            raise ValueError(
+                "n-gram hash key collided with the empty-slot sentinel 0; "
+                "this model cannot be stored in KenLM probing format"
+            )
         i = key % buckets
         while occupied[i]:
             i = (i + 1) % buckets
@@ -135,17 +173,15 @@ def build_binary_lm(arpa_path: str, out_path: str, probing_multiplier: float = 1
     for w in words:
         if w not in ids:
             ids[w] = len(ids)
-    bound = len(ids) - 1  # highest id
+    c0 = len(ids)  # == counts[0]; also the vocab "bound" (next free id)
 
-    counts = [len(unigrams)] + [len(higher.get(n, [])) for n in range(2, order + 1)]
+    counts = [c0] + [len(higher.get(n, [])) for n in range(2, order + 1)]
 
     header = bytearray()
-    # Sanity (88 bytes)
-    header += _MAGIC + b"\x00" * (56 - len(_MAGIC))
-    header += struct.pack("<fff", 0.0, 1.0, -0.5)
-    header += struct.pack("<II", 1, 0xFFFFFFFF)
-    header += b"\x00" * 4
-    header += struct.pack("<Q", 1)
+    # Sanity (88 bytes): magic field, reference floats/ints for endianness
+    # and width checks (lm/binary_format.cc Sanity::SetToReference)
+    header += _MAGIC_FIELD
+    header += struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
     assert len(header) == 88
     # FixedWidthParameters (20 bytes): order, multiplier, PROBING(0),
     # has_vocabulary=0 (no trailing strings), search_version=0
@@ -155,13 +191,14 @@ def build_binary_lm(arpa_path: str, out_path: str, probing_multiplier: float = 1
 
     out = bytearray(header)
     # vocab: u64 version, u64 bound, probing table of (murmur(word), id)
-    out += struct.pack("<QQ", 0, bound)
+    out += struct.pack("<QQ", 0, c0)
     # like KenLM, the literal "<unk>" string is NOT in the table: lookup
     # misses resolve to id 0 (= <unk>) on the reader side
     vocab_entries = [(_murmur64a(w.encode()), (i,)) for w, i in ids.items() if w != "<unk>"]
-    out += _align8(_probing_table(vocab_entries, "I4x", probing_multiplier))
-    # unigram values indexed by id: (prob, backoff) f32, bound + 1 entries
-    uni = bytearray((bound + 1) * 8)
+    out += _align8(_probing_table(vocab_entries, c0, "I4x", probing_multiplier))
+    # unigram values indexed by id: (prob, backoff) f32, counts[0]+1 slots
+    # (KenLM Unigram::Size allocates one spare)
+    uni = bytearray((c0 + 1) * 8)
     for w, (p, b) in unigrams.items():
         struct.pack_into("<ff", uni, ids[w] * 8, p, b)
     out += _align8(bytes(uni))
@@ -169,16 +206,15 @@ def build_binary_lm(arpa_path: str, out_path: str, probing_multiplier: float = 1
     for n in range(2, order + 1):
         entries = []
         for ngram_words, p, b in higher.get(n, []):
-            gid = [ids.get(w) for w in ngram_words]
-            if any(g is None for g in gid):
-                # n-gram over a word with no unigram: hash over a fresh id
-                # space consistent with the reader's behavior — skip, the
-                # reader would never look it up successfully anyway
-                continue
+            # a word with no unigram maps to <unk> (id 0), exactly what
+            # KenLM's build-time vocab lookup returns for a miss — the
+            # reader's query path resolves the same way, so the entry
+            # stays reachable
+            gid = [ids.get(w, 0) for w in ngram_words]
             payload = (p,) if n == order else (p, b)
             entries.append((_hash_ids(gid), payload))
         fmt = "f4x" if n == order else "ff"
-        out += _align8(_probing_table(entries, fmt, probing_multiplier))
+        out += _align8(_probing_table(entries, counts[n - 1], fmt, probing_multiplier))
 
     with open(out_path, "wb") as f:
         f.write(bytes(out))

@@ -116,6 +116,144 @@ class TestKenLMBinary:
             build_binary_lm(str(arpa), str(tmp_path / "o.bin"))
 
 
+class TestKenLMConformance:
+    """Validate reader AND writer against a fixture hand-assembled from
+    KenLM's struct layout (lm/binary_format.cc Sanity/FixedWidthParameters,
+    lm/vocab.cc ProbingVocabulary, util/probing_hash_table.hh geometry,
+    lm/search_hashed.hh key chaining) — NOT produced by build_binary_lm.
+
+    The unigram count (5) is chosen so util::ProbingHashTable's bucket rule
+    max(entries+1, uint64(f32(multiplier)*f32(entries))) = max(6, 7) = 7
+    differs from ceil(multiplier*entries) = 8: any ceil-based reader or
+    writer misparses every section after the vocab table.
+    """
+
+    # model: order 2, multiplier 1.5
+    # ids (ARPA order): <unk>=0 <s>=1 </s>=2 foo=3 bar=4
+    UNIGRAMS = [("<unk>", -2.2, 0.0), ("<s>", -3.0, -0.4), ("</s>", -1.5, 0.0),
+                ("foo", -0.8, -0.3), ("bar", -1.2, 0.0)]
+    BIGRAMS = [(("<s>", "foo"), -0.3), (("foo", "bar"), -0.5)]
+    IDS = {"<unk>": 0, "<s>": 1, "</s>": 2, "foo": 3, "bar": 4}
+
+    @staticmethod
+    def _murmur(data: bytes) -> int:
+        # MurmurHash64A, seed 0 — written independently of _kenlm_io
+        M, R, U64 = 0xC6A4A7935BD1E995, 47, (1 << 64) - 1
+        h = (len(data) * M) & U64
+        full, rest = divmod(len(data), 8)
+        for i in range(full):
+            k = int.from_bytes(data[8 * i: 8 * i + 8], "little")
+            k = (k * M) & U64
+            k = (k ^ (k >> R)) * M & U64
+            h = ((h ^ k) * M) & U64
+        if rest:
+            h = ((h ^ int.from_bytes(data[8 * full:], "little")) * M) & U64
+        h ^= h >> R
+        h = (h * M) & U64
+        return h ^ (h >> R)
+
+    @classmethod
+    def _ngram_key(cls, words) -> int:
+        # lm/model.cc ScoreExceptBackoff: seed = raw newest id, fold the
+        # rest newest-to-oldest through CombineWordHash
+        U64 = (1 << 64) - 1
+        ids = [cls.IDS[w] for w in words]
+        h = ids[-1]
+        for wid in reversed(ids[:-1]):
+            h = ((h * 8978948897894561157) & U64) ^ (((1 + wid) * 17894857484156487943) & U64)
+        return h
+
+    @staticmethod
+    def _place(entries, buckets, payload_fmt):
+        import struct
+
+        size = 8 + struct.calcsize(payload_fmt)
+        table = bytearray(buckets * size)
+        for key, payload in entries:
+            i = key % buckets
+            while int.from_bytes(table[i * size: i * size + 8], "little") != 0:
+                i = (i + 1) % buckets
+            struct.pack_into("<Q" + payload_fmt, table, i * size, key, *payload)
+        return bytes(table)
+
+    def _hand_build(self, trailing_strings=False) -> bytes:
+        import struct
+
+        out = bytearray()
+        # Sanity: 60-byte magic field, then f32 {0,1,-0.5}, u32 {1,max}, u64 1
+        magic = b"mmap lm http://kheafield.com/code format version 5\n"
+        out += magic + b"\x00" * (60 - len(magic))
+        out += struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
+        assert len(out) == 88
+        out += struct.pack("<B3xfIB3xI", 2, 1.5, 0, 1 if trailing_strings else 0, 0)
+        out += struct.pack("<2Q", 5, 2)  # counts
+        out += b"\x00" * ((-len(out)) % 8)
+        # vocab: header {version 0, bound 5}, table sized for 5 entries:
+        # buckets = max(5+1, uint64(1.5f*5f)=7) = 7; <unk> not inserted
+        out += struct.pack("<QQ", 0, 5)
+        ventries = [(self._murmur(w.encode()), (i,))
+                    for w, i in self.IDS.items() if w != "<unk>"]
+        out += self._place(ventries, 7, "I4x")
+        # unigrams: counts[0]+1 = 6 slots of {f32 prob, f32 backoff} by id
+        uni = bytearray(6 * 8)
+        for w, p, b in self.UNIGRAMS:
+            struct.pack_into("<ff", uni, self.IDS[w] * 8, p, b)
+        out += uni
+        # longest (order 2): buckets = max(3, uint64(1.5f*2f)=3) = 3
+        bentries = [(self._ngram_key(ws), (p,)) for ws, p in self.BIGRAMS]
+        out += self._place(bentries, 3, "f4x")
+        if trailing_strings:
+            # real has_vocabulary builds append the word strings at the end
+            out += b"\x00".join(w.encode() for w, *_ in self.UNIGRAMS) + b"\x00"
+        return bytes(out)
+
+    @pytest.fixture
+    def words(self):
+        from audio_tpu.models.decoder._ctc_decoder import _Dictionary
+
+        return _Dictionary(["foo", "bar", "baz"])  # baz is OOV
+
+    @pytest.mark.parametrize("trailing_strings", [False, True])
+    def test_reader_scores_hand_built_file(self, tmp_path, words, trailing_strings):
+        import numpy as np
+
+        from audio_tpu.models.decoder._native_lm import NativeNgramLM
+
+        path = tmp_path / "hand.bin"
+        path.write_bytes(self._hand_build(trailing_strings))
+        lm = NativeNgramLM(str(path), words)
+        assert lm.order == 2
+
+        f32 = lambda x: float(np.float32(x))  # noqa: E731
+        s = lm.start(False)  # context = [<s>]
+        s, got = lm.score(s, 0)  # foo | <s>  -> bigram hit
+        assert got == pytest.approx(f32(-0.3), abs=1e-7)
+        s, got = lm.score(s, 1)  # bar | foo  -> bigram hit
+        assert got == pytest.approx(f32(-0.5), abs=1e-7)
+        s, got = lm.score(s, 0)  # foo | bar  -> backoff(bar)=0 + p(foo)
+        assert got == pytest.approx(f32(-0.8), abs=1e-7)
+        s, got = lm.score(s, 2)  # baz (OOV) -> <unk>: backoff(foo) + p(<unk>)
+        assert got == pytest.approx(f32(-0.3) + f32(-2.2), abs=1e-7)
+        _, fin = lm.finish(s)  # </s> | <unk> -> backoff(<unk>)=0 + p(</s>)
+        assert fin == pytest.approx(f32(-1.5), abs=1e-7)
+
+    def test_writer_emits_identical_bytes(self, tmp_path):
+        """build_binary_lm on the equivalent ARPA reproduces the hand-built
+        fixture byte for byte (both tables are collision-free, so slot
+        placement is deterministic)."""
+        arpa = tmp_path / "tiny.arpa"
+        arpa.write_text(
+            "\\data\\\nngram 1=5\nngram 2=2\n\n\\1-grams:\n"
+            + "".join(f"{p}\t{w}\t{b}\n" for w, p, b in self.UNIGRAMS)
+            + "\n\\2-grams:\n"
+            + "".join(f"{p}\t{a} {b}\n" for (a, b), p in self.BIGRAMS)
+            + "\n\\end\\\n"
+        )
+        out = tmp_path / "written.bin"
+        build_binary_lm(str(arpa), str(out))
+        assert out.read_bytes() == self._hand_build()
+
+
 class TestNativeLMDirect:
     """LM-level checks straight through the CTCDecoderLM interface."""
 

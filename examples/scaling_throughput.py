@@ -16,15 +16,31 @@ mesh:
 
 Prints one JSON line per device count with throughput and scaling efficiency
 relative to 1 device.
+
+``--two-host`` additionally simulates the BASELINE.json two-host clause
+(>=85% scaling to 2 hosts): it spawns TWO ``jax.distributed`` processes of 4
+virtual CPU devices each (cross-process collectives ride Gloo — the DCN
+stand-in), runs the same 8-device dp workload across the process boundary,
+and reports the throughput fraction vs the same 8 devices in one process.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import socket
+import subprocess
+import sys
 import time
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # an installed sitecustomize may pin another platform after env parsing;
+    # re-assert the documented CLI contract
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -64,10 +80,14 @@ def measure(n_devices: int, per_device_batch: int, iters: int, sr: int, seconds:
     b = per_device_batch * n_devices
     t = int(sr * seconds)
     rng = np.random.default_rng(0)
-    wav = jax.device_put(
-        jnp.asarray(rng.standard_normal((b, t)).astype(np.float32) * 0.1), data_sh)
-    targets = jax.device_put(
-        jnp.asarray(rng.integers(1, 32, size=(b, 50)).astype(np.int32)), data_sh)
+
+    def gput(x, sharding):
+        # works both single-process (like device_put) and multi-process,
+        # where each process materializes only its addressable shards
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    wav = gput(rng.standard_normal((b, t)).astype(np.float32) * 0.1, data_sh)
+    targets = gput(rng.integers(1, 32, size=(b, 50)).astype(np.int32), data_sh)
 
     chain = build_chain(sr)
 
@@ -90,16 +110,95 @@ def measure(n_devices: int, per_device_batch: int, iters: int, sr: int, seconds:
     return b * seconds / w  # audio seconds per wall second
 
 
+def _worker(args):
+    """One of the two simulated hosts (see --two-host)."""
+    from audio_tpu.parallel import init_distributed
+
+    init_distributed(f"localhost:{args.port}", num_processes=args.nproc,
+                     process_id=args.worker)
+    assert jax.process_count() == args.nproc
+    tput = measure(jax.device_count(), args.per_device_batch, args.iters,
+                   16000, args.seconds)
+    if args.worker == 0:
+        print(json.dumps({
+            "processes": args.nproc,
+            "devices": jax.device_count(),
+            "audio_seconds_per_second": round(tput, 1),
+        }), flush=True)
+
+
+def _two_host(args):
+    """Spawn baseline (1 process x 8 dev) and 2-process (2 x 4 dev) runs and
+    report the cross-process (DCN-analog) scaling fraction."""
+    def spawn(argv, n_local):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={n_local}",
+        )
+        return subprocess.Popen([sys.executable, os.path.abspath(__file__)] + argv,
+                                env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+
+    common = ["--per-device-batch", str(args.per_device_batch),
+              "--iters", str(args.iters), "--seconds", str(args.seconds)]
+    base_proc = spawn(common + ["--only-devices", "8"], 8)
+    out, _ = base_proc.communicate(timeout=900)
+    if base_proc.returncode != 0:
+        raise RuntimeError(f"baseline run failed:\n{out[-2000:]}")
+    base = [json.loads(line) for line in out.splitlines() if '"devices"' in line][-1]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    workers = [
+        spawn(common + ["--worker", str(i), "--nproc", "2", "--port", str(port)], 4)
+        for i in range(2)
+    ]
+    outs = [w.communicate(timeout=900)[0] for w in workers]
+    for w, o in zip(workers, outs):
+        if w.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{o[-2000:]}")
+    two = [json.loads(line) for line in outs[0].splitlines() if '"processes"' in line][-1]
+
+    fraction = two["audio_seconds_per_second"] / base["audio_seconds_per_second"]
+    print(json.dumps({
+        "metric": "two_host_scaling_fraction",
+        "value": round(fraction, 3),
+        "unit": "2-process(4+4 dev, Gloo) / 1-process(8 dev) throughput",
+        "baseline_audio_s_per_s": base["audio_seconds_per_second"],
+        "two_host_audio_s_per_s": two["audio_seconds_per_second"],
+        "target": ">=0.85 (BASELINE.json two-host clause)",
+    }), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--per-device-batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--seconds", type=float, default=1.0)
+    p.add_argument("--only-devices", type=int, default=None,
+                   help="measure a single device count instead of the sweep")
+    p.add_argument("--two-host", action="store_true",
+                   help="simulate 2 hosts (2 jax.distributed processes)")
+    p.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--nproc", type=int, default=2, help=argparse.SUPPRESS)
+    p.add_argument("--port", type=int, default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
 
+    if args.two_host:
+        _two_host(args)
+        return
+    if args.worker is not None:
+        _worker(args)
+        return
+
     n_total = len(jax.devices())
-    counts = sorted({1, 2, n_total // 2, n_total} - {0})
-    counts = [c for c in counts if c <= n_total]
+    if args.only_devices:
+        counts = [args.only_devices]
+    else:
+        counts = sorted({1, 2, n_total // 2, n_total} - {0})
+        counts = [c for c in counts if c <= n_total]
 
     platform = jax.devices()[0].platform
     if platform == "cpu":

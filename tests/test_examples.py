@@ -275,3 +275,27 @@ def test_tcpgen_trie():
     mask = np.asarray(biasing.valid_next_tokens(jnp.asarray(table), jnp.asarray(nodes)[None]))
     assert mask[0, 0].tolist() == [False, True, False, False, True, False]
     assert mask[0, 1, 2] and mask[0, 1, 3] and not mask[0, 1, 1]
+
+
+@pytest.mark.slow
+def test_scaling_throughput_two_host():
+    """--two-host spawns 2 jax.distributed processes (Gloo transport) and
+    reports the DCN-analog scaling fraction; on one machine the two
+    'hosts' share cores, so only sanity-bound the fraction."""
+    import json
+    import os
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        [_REPO] + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    out = subprocess.run(
+        [sys.executable, f"{_REPO}/examples/scaling_throughput.py", "--two-host",
+         "--per-device-batch", "2", "--iters", "2", "--seconds", "0.3"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    rec = [json.loads(line) for line in out.stdout.splitlines()
+           if '"two_host_scaling_fraction"' in line][-1]
+    assert 0.2 < rec["value"] <= 1.5, rec

@@ -236,7 +236,13 @@ def treble_biquad(waveform, sample_rate: int, gain, central_freq=3000, Q=0.707) 
 
 
 def deemph_biquad(waveform, sample_rate: int) -> jnp.ndarray:
-    """ISO 908 CD de-emphasis shelving filter (44.1k / 48k only)."""
+    """ISO 908 CD de-emphasis shelving filter (44.1k / 48k only).
+
+    The 50/15 µs time constants put a pole near the unit circle; half
+    precision cast-computes in f32 (see ``riaa_biquad``).
+    """
+    if waveform.dtype in (jnp.bfloat16, jnp.float16):
+        return deemph_biquad(waveform.astype(jnp.float32), sample_rate).astype(waveform.dtype)
     if sample_rate == 44100:
         central_freq, width_slope, gain_db = 5283, 0.4845, -9.477
     elif sample_rate == 48000:
@@ -276,7 +282,14 @@ def lowpass_biquad(waveform, sample_rate: int, cutoff_freq, Q=0.707) -> jnp.ndar
 
 
 def riaa_biquad(waveform, sample_rate: int) -> jnp.ndarray:
-    """RIAA vinyl playback equalization."""
+    """RIAA vinyl playback equalization.
+
+    The RIAA low-frequency pole sits at |p| > 0.992, so a half-precision
+    recurrence random-walks over thousands of samples; like ``loudness``,
+    the filter cast-computes in f32 and casts back.
+    """
+    if waveform.dtype in (jnp.bfloat16, jnp.float16):
+        return riaa_biquad(waveform.astype(jnp.float32), sample_rate).astype(waveform.dtype)
     if sample_rate == 44100:
         zeros = [-0.2014898, 0.9233820]
         poles = [0.7083149, 0.9924091]

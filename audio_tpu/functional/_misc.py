@@ -369,8 +369,17 @@ def pitch_shift(
     hop_length: Optional[int] = None,
     window: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Shift pitch by n_steps (phase vocoder stretch + resample)."""
+    """Shift pitch by n_steps (phase vocoder stretch + resample).
+
+    Half-precision inputs cast-compute in f32 (there is no complex half
+    dtype for the STFT core) and cast back on return.
+    """
     shape = waveform.shape
+    in_dtype = waveform.dtype
+    if in_dtype in (jnp.bfloat16, jnp.float16):
+        out = pitch_shift(waveform.astype(jnp.float32), sample_rate, n_steps,
+                          bins_per_octave, n_fft, win_length, hop_length, window)
+        return out.astype(in_dtype)
     stretched = _stretch_waveform(waveform, n_steps, bins_per_octave, n_fft, win_length, hop_length, window)
     rate = 2.0 ** (-float(n_steps) / bins_per_octave)
     shifted = resample(stretched, int(sample_rate / rate), sample_rate)
@@ -503,11 +512,22 @@ def deemphasis(waveform: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:
 
 
 def frechet_distance(mu_x, sigma_x, mu_y, sigma_y):
-    """Fréchet distance between two multivariate normals."""
+    """Fréchet distance between two multivariate normals.
+
+    Half-precision inputs cast-compute in f32 (LAPACK has no half-precision
+    eigensolver) and cast back on return.
+    """
     if mu_x.ndim != 1:
         raise ValueError(f"Input mu_x must be one-dimensional; got dimension {mu_x.ndim}.")
     if sigma_x.ndim != 2:
         raise ValueError(f"Input sigma_x must be two-dimensional; got dimension {sigma_x.ndim}.")
+    in_dtype = mu_x.dtype
+    if in_dtype in (jnp.bfloat16, jnp.float16):
+        out = frechet_distance(
+            mu_x.astype(jnp.float32), sigma_x.astype(jnp.float32),
+            mu_y.astype(jnp.float32), sigma_y.astype(jnp.float32),
+        )
+        return out.astype(in_dtype)
     a = jnp.sum((mu_x - mu_y) ** 2)
     b = jnp.trace(sigma_x) + jnp.trace(sigma_y)
     # Tr(sqrt(Sx @ Sy)) via eigenvalues; XLA has no general complex sqrtm, but

@@ -399,9 +399,21 @@ def griffinlim(
     rand_init: bool = True,
     key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Griffin-Lim phase recovery (fast variant with momentum)."""
+    """Griffin-Lim phase recovery (fast variant with momentum).
+
+    Half-precision inputs cast-compute in f32 (the FFT core has no complex
+    half dtype) and cast back on return.
+    """
     if not 0 <= momentum < 1:
         raise ValueError(f"momentum must be in range [0, 1). Found: {momentum}")
+    if specgram.dtype in (jnp.bfloat16, jnp.float16):
+        out = griffinlim(
+            specgram.astype(jnp.float32), window=window, n_fft=n_fft,
+            hop_length=hop_length, win_length=win_length, power=power,
+            n_iter=n_iter, momentum=momentum, length=length,
+            rand_init=rand_init, key=key,
+        )
+        return out.astype(specgram.dtype)
     hop_length = hop_length or n_fft // 2
     win_length = win_length or n_fft
     momentum = momentum / (1 + momentum)
@@ -498,12 +510,20 @@ def spectral_centroid(
     hop_length: Optional[int] = None,
     win_length: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Spectral centroid in Hz per frame: (..., time)."""
+    """Spectral centroid in Hz per frame: (..., time).
+
+    The frequency-weighted magnitude sum reaches Hz x frames scale, which
+    overflows float16's 65504 max, so the reduction accumulates in f32 and
+    the result is cast back to the input dtype.
+    """
     hop_length = hop_length or n_fft // 2
     win_length = win_length or n_fft
     specgram = spectrogram(
         waveform, pad=pad, window=window, n_fft=n_fft, hop_length=hop_length,
         win_length=win_length, power=1.0, normalized=False,
     )
-    freqs = jnp.linspace(0, sample_rate // 2, 1 + n_fft // 2, dtype=specgram.dtype)
-    return jnp.sum(freqs[..., None] * specgram, axis=-2) / jnp.sum(specgram, axis=-2)
+    acc = jnp.promote_types(specgram.dtype, jnp.float32)
+    freqs = jnp.linspace(0, sample_rate // 2, 1 + n_fft // 2, dtype=acc)
+    sg = specgram.astype(acc)
+    out = jnp.sum(freqs[..., None] * sg, axis=-2) / jnp.sum(sg, axis=-2)
+    return out.astype(specgram.dtype)

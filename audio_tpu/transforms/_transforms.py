@@ -229,7 +229,11 @@ class MelScale(_Transform):
         self.fb = F.melscale_fbanks(n_stft, self.f_min, self.f_max, self.n_mels, self.sample_rate, norm, mel_scale)
 
     def forward(self, specgram: jnp.ndarray) -> jnp.ndarray:
-        return jnp.swapaxes(jnp.swapaxes(specgram, -1, -2) @ self.fb, -1, -2)
+        # dtype-following: the precomputed f32 bank casts to the input dtype
+        # so a bf16 serving path keeps the mel matmul in bf16 on the MXU
+        return jnp.swapaxes(
+            jnp.swapaxes(specgram, -1, -2) @ self.fb.astype(specgram.dtype), -1, -2
+        )
 
 
 class InverseMelScale(_Transform):
@@ -354,7 +358,7 @@ class MelSpectrogram(_Transform):
                 x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(spec.pad, spec.pad)])
             return F.mel_spectrogram(
                 x,
-                fb=self.mel_scale.fb,
+                fb=self.mel_scale.fb.astype(x.dtype),
                 window=spec.window,
                 n_fft=self.n_fft,
                 hop_length=self.hop_length,
@@ -397,7 +401,9 @@ class MFCC(_Transform):
             mel_specgram = jnp.log(mel_specgram + 1e-6)
         else:
             mel_specgram = self.amplitude_to_DB(mel_specgram)
-        return jnp.swapaxes(jnp.swapaxes(mel_specgram, -1, -2) @ self.dct_mat, -1, -2)
+        return jnp.swapaxes(
+            jnp.swapaxes(mel_specgram, -1, -2) @ self.dct_mat.astype(mel_specgram.dtype), -1, -2
+        )
 
 
 class LFCC(_Transform):
@@ -437,12 +443,16 @@ class LFCC(_Transform):
 
     def forward(self, waveform: jnp.ndarray) -> jnp.ndarray:
         specgram = self.Spectrogram(waveform)
-        specgram = jnp.swapaxes(jnp.swapaxes(specgram, -1, -2) @ self.filter_mat, -1, -2)
+        specgram = jnp.swapaxes(
+            jnp.swapaxes(specgram, -1, -2) @ self.filter_mat.astype(specgram.dtype), -1, -2
+        )
         if self.log_lf:
             specgram = jnp.log(specgram + 1e-6)
         else:
             specgram = self.amplitude_to_DB(specgram)
-        return jnp.swapaxes(jnp.swapaxes(specgram, -1, -2) @ self.dct_mat, -1, -2)
+        return jnp.swapaxes(
+            jnp.swapaxes(specgram, -1, -2) @ self.dct_mat.astype(specgram.dtype), -1, -2
+        )
 
 
 class MuLawEncoding(_Transform):
@@ -566,7 +576,8 @@ class Fade(_Transform):
             0,
             1,
         )
-        return waveform * fade_in * fade_out
+        # ramps are built in f32; cast the product back to the input dtype
+        return (waveform * fade_in * fade_out).astype(waveform.dtype)
 
 
 class _AxisMasking(_Transform):

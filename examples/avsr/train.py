@@ -149,6 +149,68 @@ class SyntheticBatches:
             yield videos, audios, vid_lens, tgt.astype(np.int32), tgt_len.astype(np.int32)
 
 
+# blank + the reference SentencePiece-style char inventory; a real spm model
+# drops in via --sp-model (the reference trains unigram-1023, train_spm.py)
+CHAR_VOCAB = ["<blank>", "<unk>", " ", "'"] + [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+
+
+class LRS3Batches:
+    """Preprocessed-LRS3 batches: bucket by video frames (the reference
+    batches by token count over CustomBucketDataset, data_module.py:66-99),
+    pad each batch to its own max length, char-tokenize transcripts."""
+
+    def __init__(self, root, batch_size, max_frames=1600, subset="train", seed=0,
+                 n_dp=1):
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+        from lrs3 import LRS3, batch_by_token_count
+
+        self.ds = LRS3(root, subset=subset, modality="audiovisual")
+        self.batches = batch_by_token_count(
+            self.ds.lengths, max_frames=max_frames, batch_size=batch_size,
+            num_buckets=min(50, len(self.ds)), shuffle=True, seed=seed,
+        )
+        self.n_dp = n_dp
+        self.char2id = {c: i for i, c in enumerate(CHAR_VOCAB)}
+        self.num_symbols = len(CHAR_VOCAB)
+
+    def tokenize(self, text):
+        return [self.char2id.get(c, 1) for c in text.upper()]
+
+    @staticmethod
+    def _round8(n):
+        return (n + 7) // 8 * 8  # pad shape buckets: fewer XLA retraces
+
+    def __iter__(self):
+        while True:
+            for batch_idx in self.batches:
+                # dp sharding needs the batch divisible by the mesh size
+                rem = (-len(batch_idx)) % self.n_dp
+                batch_idx = list(batch_idx) + [
+                    batch_idx[i % len(batch_idx)] for i in range(rem)
+                ]
+                items = [self.ds[i] for i in batch_idx]
+                t_max = self._round8(max(v.shape[0] for _, v, _ in items))
+                tokens = [self.tokenize(txt) for _, _, txt in items]
+                u_max = self._round8(max(len(t) for t in tokens))
+                b = len(items)
+                videos = np.zeros((b, t_max) + items[0][1].shape[1:], np.float32)
+                audios = np.zeros((b, t_max * SAMPLES_PER_FRAME), np.float32)
+                vid_lens = np.zeros((b,), np.int32)
+                tgt = np.zeros((b, max(u_max, 1)), np.int32)
+                tgt_lens = np.zeros((b,), np.int32)
+                for i, ((a, v, _), toks) in enumerate(zip(items, tokens)):
+                    videos[i, : v.shape[0]] = v
+                    n = min(a.shape[0], audios.shape[1])
+                    audios[i, :n] = a[:n]
+                    vid_lens[i] = v.shape[0]
+                    tgt[i, : len(toks)] = toks
+                    tgt_lens[i] = len(toks)
+                yield videos, audios, vid_lens, tgt, tgt_lens
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
@@ -158,16 +220,30 @@ def main():
     p.add_argument("--warmup-steps", type=int, default=40)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--lrs3-path", default=None,
+                   help="preprocessed LRS3 root (see data_prep/preprocess_lrs3.py)")
+    p.add_argument("--max-frames", type=int, default=1600,
+                   help="token-count batching budget in video frames")
     p.add_argument("--num-symbols", type=int, default=1024)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--save-every", type=int, default=50)
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
+    n_dp = int(np.prod(list(mesh.shape.values())))
     print(f"mesh: {mesh.shape}, devices: {len(jax.devices())}")
 
     num_symbols = 32 if args.tiny else args.num_symbols
-    data = SyntheticBatches(args.global_batch, num_symbols)
+    if args.lrs3_path:
+        data = LRS3Batches(args.lrs3_path, args.global_batch,
+                           max_frames=args.max_frames, n_dp=n_dp)
+        num_symbols = data.num_symbols
+        print(f"LRS3: {len(data.ds)} segments, {len(data.batches)} batches, "
+              f"vocab {num_symbols} (char)")
+    elif args.synthetic:
+        data = SyntheticBatches(args.global_batch, num_symbols)
+    else:
+        raise SystemExit("pass --synthetic or --lrs3-path")
     model = tiny_model(num_symbols) if args.tiny else AVConformerRNNT(num_symbols=num_symbols)
 
     vid0, aud0, vl0, tgt0, tl0 = next(iter(data))

@@ -114,10 +114,47 @@ def build_model(tiny: bool):
 def synthetic_dataset(n, tiny, seed=0):
     rng = np.random.default_rng(seed)
     lo, hi = (2000, 4000) if tiny else (32000, 250000)
-    return [
-        (rng.standard_normal(int(rng.integers(lo, hi))).astype(np.float32) * 0.1,)
+    data = [
+        rng.standard_normal(int(rng.integers(lo, hi))).astype(np.float32) * 0.1
         for _ in range(n)
     ]
+    return (lambda i: data[i]), [d.shape[-1] for d in data]
+
+
+def real_dataset(args):
+    """LibriSpeech / Libri-Light corpora via audio_tpu.datasets, mirroring the
+    reference datamodules (/root/reference/examples/self_supervised_learning/
+    data_modules/_wav2vec2_datamodule.py: LibriSpeech for pretraining,
+    LibriLightLimited for limited-supervision runs).  Lengths for the bucket
+    sampler come from one metadata pass (header reads only, no decode)."""
+    import os
+
+    import audio_tpu
+    import audio_tpu.datasets as D
+
+    datasets = []
+    if args.librispeech_path:
+        for url in args.librispeech_urls.split(","):
+            datasets.append(D.LIBRISPEECH(args.librispeech_path, url=url.strip()))
+    if args.librilight_path:
+        datasets.append(D.LibriLightLimited(args.librilight_path, subset=args.librilight_subset))
+
+    items, lengths = [], []
+    for ds in datasets:
+        for i in range(len(ds)):
+            relpath, _sr, *_ = ds.get_metadata(i)
+            n = audio_tpu.info(os.path.join(ds._archive, relpath)).num_frames
+            items.append((ds, i))
+            lengths.append(int(n))
+    if not items:
+        raise SystemExit("no utterances found under the given dataset paths")
+
+    def fetch(j):
+        ds, i = items[j]
+        wav = np.asarray(ds[i][0], np.float32)
+        return wav.reshape(-1) if wav.ndim > 1 else wav
+
+    return fetch, lengths
 
 
 def main():
@@ -134,17 +171,28 @@ def main():
     p.add_argument("--num-buckets", type=int, default=10)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--librispeech-path", default=None,
+                   help="root containing LibriSpeech/ (e.g. for train-clean-100)")
+    p.add_argument("--librispeech-urls", default="train-clean-100",
+                   help="comma-separated LibriSpeech subsets")
+    p.add_argument("--librilight-path", default=None,
+                   help="root containing librispeech_finetuning/ (Libri-Light)")
+    p.add_argument("--librilight-subset", default="10h",
+                   choices=["10min", "1h", "10h"])
     args = p.parse_args()
-
-    if not args.synthetic:
-        raise SystemExit("only --synthetic data is wired in this environment")
 
     mesh = create_mesh(tp=1)
     n_dp = int(np.prod(list(mesh.shape.values())))
     print(f"mesh: {mesh.shape}")
 
-    data = synthetic_dataset(64 if args.tiny else 512, args.tiny)
-    lengths = [d[0].shape[-1] for d in data]
+    if args.synthetic:
+        fetch, lengths = synthetic_dataset(64 if args.tiny else 512, args.tiny)
+    elif args.librispeech_path or args.librilight_path:
+        fetch, lengths = real_dataset(args)
+    else:
+        raise SystemExit(
+            "pass --synthetic, --librispeech-path, or --librilight-path"
+        )
     sampler = BucketizeBatchSampler(
         lengths, num_buckets=args.num_buckets,
         max_token_count=args.max_token_count,
@@ -198,11 +246,12 @@ def main():
             # ragged batch sizes)
             rem = (-len(batch_idx)) % n_dp
             if rem:
-                batch_idx = list(batch_idx) + list(batch_idx[:rem])
+                batch_idx = list(batch_idx)
+                batch_idx += [batch_idx[i % len(batch_idx)] for i in range(rem)]
             collate = CollateFnWav2Vec2(
                 pad_to=sampler.bucket_upper_len(sampler.bucket_ids[bi]), seed=step
             )
-            batch = collate([(data[i][0], data[i][0].shape[-1]) for i in batch_idx])
+            batch = collate([(fetch(i), lengths[i]) for i in batch_idx])
             wav = jax.device_put(jnp.asarray(batch["waveforms"]), batch_sharding(mesh, 2))
             lens = jax.device_put(jnp.asarray(batch["lengths"]), batch_sharding(mesh, 1))
             key, sub = jax.random.split(key)

@@ -78,6 +78,48 @@ _CASES = [
     ("overdrive", lambda w: F.overdrive(w, 20.0, 20.0), 4.0),
     ("loudness_scalar", lambda w: F.loudness(
         jnp.concatenate([w, w, w, w], -1), _SR)),
+    # --- biquad family: one second-order recurrence over 2000 samples.
+    # Mid-band poles (1-4 kHz at 16 kHz) keep |pole| comfortably < 1, so the
+    # accumulated rounding stays within ~4x the single-rounding tolerance.
+    ("biquad", lambda w: F.biquad(w, 0.3, 0.2, 0.1, 1.0, -0.4, 0.05), 4.0),
+    ("highpass_biquad", lambda w: F.highpass_biquad(w, _SR, 2000.0), 4.0),
+    ("allpass_biquad", lambda w: F.allpass_biquad(w, _SR, 2000.0), 4.0),
+    ("bandpass_biquad", lambda w: F.bandpass_biquad(w, _SR, 2000.0), 4.0),
+    ("bandreject_biquad", lambda w: F.bandreject_biquad(w, _SR, 2000.0), 4.0),
+    ("band_biquad", lambda w: F.band_biquad(w, _SR, 2000.0), 4.0),
+    ("bass_biquad", lambda w: F.bass_biquad(w, _SR, 3.0, 1000.0), 4.0),
+    ("treble_biquad", lambda w: F.treble_biquad(w, _SR, 3.0, 3000.0), 4.0),
+    ("equalizer_biquad", lambda w: F.equalizer_biquad(w, _SR, 2000.0, 3.0), 4.0),
+    # RIAA/CD-deemphasis poles sit at |p| > 0.99: the ops cast-compute in
+    # f32 internally (see _filtering.py), so only the final rounding shows
+    ("riaa_biquad", lambda w: F.riaa_biquad(w, 44100)),
+    ("deemph_biquad", lambda w: F.deemph_biquad(w, 44100)),
+    # generic deemphasis pole 0.97: ~2000-step half-precision recurrence
+    ("deemphasis", lambda w: F.deemphasis(w), 8.0),
+    # filtfilt runs the IIR twice (forward+backward): double the drift
+    ("filtfilt", lambda w: F.filtfilt(
+        w, jnp.asarray([1.0, -0.3], w.dtype), jnp.asarray([0.6, 0.2], w.dtype)), 8.0),
+    # modulated-delay effects interpolate between taps: linear interp is
+    # precision-benign, tolerance stays at the elementwise default
+    ("flanger", lambda w: F.flanger(w.reshape(2, 1, 2000), _SR), 4.0),
+    ("phaser", lambda w: F.phaser(w, _SR), 4.0),
+    # framed statistics / reductions: dominated by means over ~100-sample
+    # windows, which round once per level of the tree reduction
+    ("sliding_window_cmn", lambda w: F.sliding_window_cmn(
+        w.reshape(2, 50, 40), cmn_window=20), 2.0),
+    # centroid = sum(f * mag) / sum(mag) with f at Hz scale (up to 8000):
+    # each f*mag product rounds at ~1e-3 relative in f16, and the ratio of
+    # two such sums compounds it
+    ("spectral_centroid", lambda w: F.spectral_centroid(
+        w, _SR, 0, _WIN.astype(w.dtype), 256, 128, 256), 8.0),
+    ("DB_to_amplitude", lambda w: F.DB_to_amplitude(w, 1.0, 0.5)),
+    # masking only zeroes spans; values that survive must be exact
+    ("mask_along_axis", lambda w: F.mask_along_axis(
+        w.reshape(2, 40, 50), 10, 0.0, 2, key=_KEY)),
+    ("mask_along_axis_iid", lambda w: F.mask_along_axis_iid(
+        w.reshape(2, 1, 40, 50), 10, 0.0, 2, key=_KEY)),
+    # resample-family: polyphase FIR dot products, one rounding per tap sum
+    ("speed", lambda w: F.speed(w, _SR, 1.1)[0], 2.0),
 ]
 
 
@@ -109,6 +151,93 @@ def test_forced_align_reduced_dtype(dtype):
     paths32, _ = F.forced_align(lp32, jnp.asarray([[1, 2, 3, 2]], jnp.int32))
     assert paths.dtype == paths32.dtype
     assert np.isfinite(np.asarray(scores, np.float32)).all()
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_vad_reduced_dtype(dtype):
+    """vad's trigger point is a threshold decision, so a reduced-precision
+    run may trim at a slightly different sample; assert dtype/finiteness and
+    that the detected onset is within 10 ms of the f32 one."""
+    rng = np.random.default_rng(9)
+    w = np.concatenate([
+        np.zeros(4000, np.float32),
+        (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / _SR)).astype(np.float32),
+    ])
+    lo = F.vad(jnp.asarray(w, dtype), _SR)
+    hi = F.vad(jnp.asarray(w, jnp.float32), _SR)
+    assert lo.dtype == dtype
+    lo_np, hi_np = np.asarray(lo, np.float32), np.asarray(hi)
+    assert np.isfinite(lo_np).all()
+    onset = lambda x: int(np.argmax(np.abs(x) > 0.05)) if (np.abs(x) > 0.05).any() else -1  # noqa: E731
+    assert abs(onset(lo_np) - onset(hi_np)) <= _SR // 100
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_detect_pitch_frequency_reduced_dtype(dtype):
+    """NCCF peak picking is discrete: require the detected pitch itself to be
+    within 2% of the f32 answer on a clean 210 Hz tone."""
+    t = np.arange(8000) / _SR
+    w = (0.6 * np.sin(2 * np.pi * 210.0 * t)).astype(np.float32)[None]
+    lo = F.detect_pitch_frequency(jnp.asarray(w, dtype), _SR)
+    hi = F.detect_pitch_frequency(jnp.asarray(w, jnp.float32), _SR)
+    np.testing.assert_allclose(np.asarray(lo, np.float32), np.asarray(hi),
+                               rtol=0.02)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_pitch_shift_reduced_dtype(dtype):
+    """pitch_shift runs stft -> phase_vocoder -> istft; complex half floats
+    don't exist, so the spectral core promotes to complex64 and the output
+    must come back in the input dtype."""
+    w = _wave((2, 2000))
+    lo = F.pitch_shift(jnp.asarray(w, dtype), _SR, 2)
+    hi = F.pitch_shift(jnp.asarray(w, jnp.float32), _SR, 2)
+    assert lo.dtype == dtype
+    lo_np, hi_np = np.asarray(lo, np.float32), np.asarray(hi)
+    assert np.isfinite(lo_np).all()
+    scale = np.abs(hi_np).max() + 1e-6
+    np.testing.assert_allclose(lo_np / scale, hi_np / scale, atol=_TOL[dtype] * 2)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_griffinlim_reduced_dtype(dtype):
+    """Phase retrieval is multi-stable: near-zero phases round to different
+    signs in half precision and the iteration amplifies the divergence, so a
+    pointwise waveform comparison is unsound.  The precision contract is
+    that the reduced-precision reconstruction explains the target magnitude
+    spectrogram about as well as the f32 one."""
+    w = _wave()
+    def spec(x):
+        return F.spectrogram(jnp.asarray(x), window=_WIN.astype(x.dtype),
+                             n_fft=256, hop_length=128, win_length=256, power=1.0)
+    def gl(x):
+        return F.griffinlim(jnp.abs(spec(x)), window=_WIN.astype(x.dtype),
+                            n_fft=256, hop_length=128, win_length=256, power=1.0,
+                            n_iter=8, momentum=0.0, length=2000, rand_init=False)
+    lo = gl(jnp.asarray(w, dtype))
+    hi = gl(jnp.asarray(w, jnp.float32))
+    assert lo.dtype == dtype
+    assert np.isfinite(np.asarray(lo, np.float32)).all()
+    tgt = np.asarray(spec(jnp.asarray(w)))
+    def rel_err(wav):
+        m = np.asarray(spec(jnp.asarray(np.asarray(wav, np.float32))))
+        return float(np.linalg.norm(m - tgt) / np.linalg.norm(tgt))
+    assert abs(rel_err(lo) - rel_err(hi)) < 0.05, (rel_err(lo), rel_err(hi))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_frechet_distance_reduced_dtype(dtype):
+    rng = np.random.default_rng(10)
+    def stats(seed):
+        x = rng.standard_normal((100, 8)).astype(np.float32)
+        return x.mean(0), np.cov(x, rowvar=False).astype(np.float32)
+    mu1, s1 = stats(0)
+    mu2, s2 = stats(1)
+    lo = F.frechet_distance(jnp.asarray(mu1, dtype), jnp.asarray(s1, dtype),
+                            jnp.asarray(mu2, dtype), jnp.asarray(s2, dtype))
+    hi = F.frechet_distance(*map(jnp.asarray, (mu1, s1, mu2, s2)))
+    # matrix sqrt of an 8x8 covariance: iterative, scaled tolerance
+    np.testing.assert_allclose(float(lo), float(hi), rtol=_TOL[dtype] * 4)
 
 
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])

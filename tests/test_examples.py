@@ -151,6 +151,35 @@ def test_ssl_wav2vec2_recipe():
     )
 
 
+@pytest.mark.slow
+def test_ssl_wav2vec2_recipe_real_data(tmp_path):
+    """2 real steps from an on-disk LibriSpeech-layout corpus (flac + trans),
+    through audio_tpu.datasets.LIBRISPEECH — the reference's pretraining data
+    path (examples/self_supervised_learning/data_modules)."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(3)
+    base = tmp_path / "LibriSpeech" / "train-clean-100"
+    for spk, chap, n_utt in ((19, 198, 3), (26, 495, 2)):
+        d = base / str(spk) / str(chap)
+        d.mkdir(parents=True)
+        lines = []
+        for u in range(n_utt):
+            fileid = f"{spk}-{chap}-{u:04d}"
+            wav = (rng.standard_normal((1, int(rng.integers(2400, 4000)))) * 0.1)
+            aio.save(str(d / f"{fileid}.flac"), wav.astype(np.float32), 16000)
+            lines.append(f"{fileid} HELLO WORLD\n")
+        (d / f"{spk}-{chap}.trans.txt").write_text("".join(lines))
+
+    _run(
+        f"{_REPO}/examples/self_supervised_learning/train_wav2vec2.py",
+        ["train_wav2vec2.py", "--tiny", "--steps", "2",
+         "--librispeech-path", str(tmp_path), "--batch-size", "1"],
+    )
+
+
 def test_ssl_data_modules():
     import importlib.util
     import sys as _sys
@@ -299,3 +328,42 @@ def test_scaling_throughput_two_host():
     rec = [json.loads(line) for line in out.stdout.splitlines()
            if '"two_host_scaling_fraction"' in line][-1]
     assert 0.2 < rec["value"] <= 1.5, rec
+
+
+@pytest.mark.slow
+def test_avsr_real_data_pipeline(tmp_path):
+    """Full AVSR data path: raw LRS3-layout corpus -> preprocess (mouth-ROI
+    stub, sanity filters, labels csv) -> LRS3 dataset + token-count
+    bucketing -> 2 real train steps.  Mirrors
+    /root/reference/examples/avsr/data_prep/preprocess_lrs3.py + lrs3.py."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(11)
+    raw = tmp_path / "raw"
+    for split, spk, n in (("trainval", "spk0", 2), ("pretrain", "spk1", 1)):
+        d = raw / split / spk
+        d.mkdir(parents=True)
+        for u in range(n):
+            frames = int(rng.integers(14, 20))
+            vid = (rng.random((frames, 24, 32)) * 255).astype(np.uint8)
+            np.save(d / f"{u:05d}.npy", vid)
+            wav = (rng.standard_normal((1, frames * 640)) * 0.1).astype(np.float32)
+            aio.save(str(d / f"{u:05d}.wav"), wav, 16000)
+            (d / f"{u:05d}.txt").write_text("Text:  HELLO WORLD\n")
+
+    out_root = tmp_path / "prep"
+    _run(
+        f"{_REPO}/examples/avsr/data_prep/preprocess_lrs3.py",
+        ["preprocess_lrs3.py", "--data-dir", str(raw), "--root-dir", str(out_root),
+         "--subset", "train", "--resize", "16"],
+    )
+    csv = out_root / "labels" / "lrs3_train_transcript_lengths_seg16s.csv"
+    assert csv.exists() and len(csv.read_text().splitlines()) == 3
+
+    _run(
+        f"{_REPO}/examples/avsr/train.py",
+        ["train.py", "--tiny", "--steps", "2", "--global-batch", "2",
+         "--lrs3-path", str(out_root)],
+    )

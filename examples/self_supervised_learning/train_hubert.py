@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from audio_tpu.models import hubert_pretrain_base
+from audio_tpu.models import (
+    hubert_pretrain_base,
+    hubert_pretrain_large,
+    hubert_pretrain_xlarge,
+)
 from audio_tpu.models.wav2vec2 import hubert_pretrain_model
 from audio_tpu.parallel import batch_sharding, create_mesh, replicate
 
@@ -67,6 +71,11 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--labels", default=None, help="labels.npz from ../hubert/preprocess.py")
+    p.add_argument("--model-name", default="hubert_pretrain_base",
+                   choices=["hubert_pretrain_base", "hubert_pretrain_large",
+                            "hubert_pretrain_xlarge"],
+                   help="the reference SSL framework's model_name axis "
+                        "(train_hubert.py:112-117)")
     p.add_argument("--num-classes", type=int, default=100)
     p.add_argument("--masked-weight", type=float, default=1.0)
     p.add_argument("--unmasked-weight", type=float, default=0.0)
@@ -82,7 +91,10 @@ def main():
         model = hubert_pretrain_model(num_classes=args.num_classes, **cfg)
         conv_cfg = cfg["extractor_conv_layer_config"]
     else:
-        model = hubert_pretrain_base(num_classes=args.num_classes)
+        factory = {"hubert_pretrain_base": hubert_pretrain_base,
+                   "hubert_pretrain_large": hubert_pretrain_large,
+                   "hubert_pretrain_xlarge": hubert_pretrain_xlarge}[args.model_name]
+        model = factory(num_classes=args.num_classes)
         conv_cfg = [(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2
 
     audio_len = int(1.0 * SAMPLE_RATE)

@@ -85,7 +85,7 @@ class Wav2Vec2PretrainModule(nn.Module):
         return x, targets, mask, lengths, feature_penalty
 
 
-def build_model(tiny: bool):
+def build_model(tiny: bool, model_name: str = "wav2vec2_base"):
     if tiny:
         backbone = wav2vec2_model(
             extractor_mode="group_norm",
@@ -106,9 +106,13 @@ def build_model(tiny: bool):
             aux_num_out=None,
         )
         return Wav2Vec2PretrainModule(backbone=backbone, final_dim=64)
-    from audio_tpu.models import wav2vec2_base
+    import audio_tpu.models as M
 
-    return Wav2Vec2PretrainModule(backbone=wav2vec2_base(aux_num_out=None))
+    # the reference SSL framework's model axis: base (768-d, final 256) /
+    # large / large-lv60k (1024-d, final 768)
+    backbone = getattr(M, model_name)(aux_num_out=None)
+    final_dim = 256 if model_name == "wav2vec2_base" else 768
+    return Wav2Vec2PretrainModule(backbone=backbone, final_dim=final_dim)
 
 
 def synthetic_dataset(n, tiny, seed=0):
@@ -170,6 +174,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--num-buckets", type=int, default=10)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--model-name", default="wav2vec2_base",
+                   choices=["wav2vec2_base", "wav2vec2_large", "wav2vec2_large_lv60k"])
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--librispeech-path", default=None,
                    help="root containing LibriSpeech/ (e.g. for train-clean-100)")
@@ -200,7 +206,7 @@ def main():
         shuffle=True, seed=0,
     )
 
-    model = build_model(args.tiny)
+    model = build_model(args.tiny, args.model_name)
     num_neg = 10 if args.tiny else args.num_negatives
     sample_wav = jnp.zeros((2, min(lengths)), jnp.float32)
     params = model.init(

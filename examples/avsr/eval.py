@@ -26,7 +26,13 @@ from audio_tpu.models import rnnt_greedy_decode
 
 _HERE = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(_HERE))
-from train import BLANK_FIRST_TOKEN, AVConformerRNNT, SyntheticBatches, tiny_model  # noqa: E402
+from train import (  # noqa: E402
+    BLANK_FIRST_TOKEN,
+    AVConformerRNNT,
+    LRS3Batches,
+    SyntheticBatches,
+    tiny_model,
+)
 
 
 def main():
@@ -38,13 +44,19 @@ def main():
     p.add_argument("--num-symbols", type=int, default=1024)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--lrs3-path", default=None,
+                   help="preprocessed LRS3 root; evaluates the test subset")
     args = p.parse_args()
-    if not args.synthetic:
-        raise SystemExit("only --synthetic data is wired in this environment")
 
     num_symbols = 32 if args.tiny else args.num_symbols
+    if args.lrs3_path:
+        data = LRS3Batches(args.lrs3_path, args.global_batch, subset="test", seed=7)
+        num_symbols = data.num_symbols
+    elif args.synthetic:
+        data = SyntheticBatches(args.global_batch, num_symbols, seed=7)
+    else:
+        raise SystemExit("pass --synthetic or --lrs3-path")
     model = tiny_model(num_symbols) if args.tiny else AVConformerRNNT(num_symbols=num_symbols)
-    data = SyntheticBatches(args.global_batch, num_symbols, seed=7)
 
     vid0, aud0, vl0, tgt0, tl0 = next(iter(data))
     tgt_in0 = jnp.pad(jnp.asarray(tgt0), ((0, 0), (1, 0)), constant_values=BLANK_FIRST_TOKEN)

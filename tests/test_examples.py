@@ -367,3 +367,19 @@ def test_avsr_real_data_pipeline(tmp_path):
         ["train.py", "--tiny", "--steps", "2", "--global-batch", "2",
          "--lrs3-path", str(out_root)],
     )
+
+    # eval consumes the test-subset labels through the same pipeline
+    # (the mock raw corpus has no test/ split; reuse trainval)
+    import os as _os
+
+    _os.symlink(str(raw / "trainval"), str(raw / "test"))
+    _run(
+        f"{_REPO}/examples/avsr/data_prep/preprocess_lrs3.py",
+        ["preprocess_lrs3.py", "--data-dir", str(raw), "--root-dir", str(out_root),
+         "--subset", "test", "--resize", "16"],
+    )
+    _run(
+        f"{_REPO}/examples/avsr/eval.py",
+        ["eval.py", "--tiny", "--batches", "1", "--global-batch", "2",
+         "--lrs3-path", str(out_root)],
+    )

@@ -341,6 +341,19 @@ bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
   }
   std::vector<uint64_t> counts(order);
   std::memcpy(counts.data(), p + kSanity + 20, 8 * (size_t)order);
+  // size-field sanity BEFORE any sizing math: counts/multiplier feed bucket
+  // products, and an adversarial/corrupt header must not be able to wrap
+  // them past the need() truncation check
+  if (!(multiplier > 1.0f) || !(multiplier < 100.0f)) {
+    *err = "implausible probing multiplier in KenLM binary header";
+    return false;
+  }
+  for (int o = 0; o < order; ++o) {
+    if (counts[o] > 2000000000ULL) {
+      *err = "implausible n-gram count in KenLM binary header";
+      return false;
+    }
+  }
   uint64_t off = Align8(kSanity + 20 + 8 * (uint64_t)order);
 
   auto need = [&](uint64_t n) -> bool {
@@ -365,6 +378,16 @@ bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
     *err = "implausible vocabulary bound in KenLM binary";
     return false;
   }
+  if (bound != counts[0]) {
+    // KenLM's ProbingVocabulary bound_ is the number of assigned ids, which
+    // equals the unigram count; a mismatch means a different layout —
+    // notably binaries from the pre-conformance build_binary_lm, which
+    // wrote bound = highest id = counts[0] - 1
+    *err = "KenLM binary vocab bound does not match the unigram count — "
+           "incompatible or legacy layout; rebuild the binary with "
+           "build_binary_lm or pass the ARPA file";
+    return false;
+  }
   // the vocab table is sized for counts[0] entries (lm/vocab.cc sizes it
   // from the unigram count, not from bound)
   uint64_t vbuckets = ProbingBuckets(counts[0], multiplier);
@@ -374,7 +397,20 @@ bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
     uint32_t id;
     std::memcpy(&key, p + off + i * 16, 8);
     std::memcpy(&id, p + off + i * 16 + 8, 4);
-    if (key != 0) lm->vocab[key] = id;
+    if (key != 0) {
+      if (id >= bound) {
+        // valid files assign ids 0..bound-1 (<unk> = 0, never stored);
+        // an id at/past bound means the table geometry doesn't match —
+        // e.g. a binary written by the pre-conformance build_binary_lm
+        // (ceil bucket counts, bound = highest id) being read with the
+        // KenLM-conformant geometry
+        *err = "KenLM binary vocab id out of range — incompatible or "
+               "legacy layout; rebuild the binary with build_binary_lm "
+               "or pass the ARPA file";
+        return false;
+      }
+      lm->vocab[key] = id;
+    }
   }
   off += Align8(vbuckets * 16);
 

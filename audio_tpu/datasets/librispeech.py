@@ -166,9 +166,20 @@ class LibriLightLimited:
         files_paths.sort(key=lambda x: x[0] + x[1])
         self._fileids_paths = files_paths
 
-    def __getitem__(self, n: int):
+    @property
+    def _archive(self) -> str:
+        """Root the relative paths in :meth:`get_metadata` resolve against
+        (same contract as ``LIBRISPEECH._archive``)."""
+        return self._path
+
+    def get_metadata(self, n: int):
+        """(relpath, sample_rate, transcript, speaker, chapter, utterance)
+        without decoding audio — mirrors ``LIBRISPEECH.get_metadata``."""
         file_path, fileid = self._fileids_paths[n]
-        metadata = _get_librispeech_metadata(fileid, self._path, file_path, self._ext_audio, self._ext_txt)
+        return _get_librispeech_metadata(fileid, self._path, file_path, self._ext_audio, self._ext_txt)
+
+    def __getitem__(self, n: int):
+        metadata = self.get_metadata(n)
         waveform = _load_waveform(self._path, metadata[0], metadata[1])
         return (waveform,) + metadata[1:]
 

@@ -65,11 +65,88 @@ class AudioMetaData:
         )
 
 
+_INFO_PREFIX = 65536  # covers FLAC STREAMINFO, SPHERE/AU/WAV headers
+
+
+def _wav_header_info(data: bytes, file_size: int):
+    """Header-only WAV metadata from a prefix: (fmt, data_size) without
+    loading the sample bytes.  Returns None when the prefix doesn't reach
+    the data chunk (caller falls back to a full read)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("Not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos: pos + 4]
+        (chunk_size,) = struct.unpack("<I", data[pos + 4: pos + 8])
+        if chunk_id == b"fmt ":
+            body = data[pos + 8: pos + 8 + chunk_size]
+            if len(body) < 16:
+                return None
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40 and len(body) >= 26:
+                (sub_format,) = struct.unpack("<H", body[24:26])
+                fmt = (sub_format,) + fmt[1:]
+        elif chunk_id == b"data":
+            if fmt is None:
+                return None
+            # clamp against the on-disk size (writers sometimes overstate)
+            avail = max(0, file_size - pos - 8)
+            return fmt, min(chunk_size, avail)
+        pos += 8 + chunk_size + (chunk_size % 2)
+    return None
+
+
 def info(uri: Union[BinaryIO, str, os.PathLike], format: Optional[str] = None,
          buffer_size: int = 4096, backend: Optional[str] = None) -> AudioMetaData:
-    """Metadata of an audio file without decoding the samples."""
+    """Metadata of an audio file without decoding the samples.
+
+    For on-disk WAV/FLAC/SPHERE/AU this reads only a 64 KiB header prefix
+    (metadata passes over large corpora stay I/O-cheap); other formats and
+    file-like inputs fall back to a full read.
+    """
+    prefix = None
+    if not hasattr(uri, "read"):
+        try:
+            file_size = os.path.getsize(uri)
+            with open(uri, "rb") as f:
+                prefix = f.read(_INFO_PREFIX)
+            if prefix[:4] == b"RIFF":
+                got = _wav_header_info(prefix, file_size)
+                if got is not None:
+                    fmt, data_size = got
+                    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+                    if audio_format == _WAVE_FORMAT_PCM:
+                        encoding = "PCM_U" if bits == 8 else "PCM_S"
+                    elif audio_format == _WAVE_FORMAT_IEEE_FLOAT:
+                        encoding = "PCM_F"
+                    else:
+                        encoding = "UNKNOWN"
+                    num_frames = data_size // block_align if block_align else 0
+                    return AudioMetaData(sample_rate, num_frames, n_channels, bits, encoding)
+            elif prefix[:4] == b"fLaC":
+                from ._flac import probe_flac
+
+                try:
+                    rate, nch, bits, total = probe_flac(prefix)
+                    return AudioMetaData(rate, total, nch, bits, "FLAC")
+                except ValueError:
+                    if len(prefix) == _INFO_PREFIX:
+                        pass  # STREAMINFO past the prefix; full-read fallback
+                    else:
+                        raise  # the whole file was read and it's invalid
+            elif prefix[:7] == b"NIST_1A":
+                from ._formats import sph_info
+
+                rate, frames, nch, bits, enc = sph_info(prefix)
+                return AudioMetaData(rate, frames, nch, bits, enc)
+        except OSError:
+            pass
+
     if hasattr(uri, "read"):
         data = uri.read()
+    elif prefix is not None and len(prefix) < _INFO_PREFIX:
+        data = prefix  # the prefix was already the whole file
     else:
         with open(uri, "rb") as f:
             data = f.read()

@@ -11,7 +11,13 @@ hashed search, util/probing_hash_table.hh):
 
 * Sanity (88 B): 60-byte magic field ("mmap lm http://kheafield.com/code
   format version 5\\n" + NUL padding), f32 {0, 1, -0.5}, u32 {1,
-  0xffffffff}, u64 1.
+  0xffffffff}, u64 1.  NOTE: the 88-byte total is certain, but the exact
+  split between magic padding and reference-value offsets (floats at 60
+  here vs a possible 56 with 4 tail-pad bytes) could not be verified
+  against KenLM sources offline; our reader checks only the magic prefix,
+  so READING real binaries is unaffected either way — the uncertainty only
+  matters if external KenLM loads a binary WRITTEN here, where a mismatch
+  fails its Sanity memcmp loudly rather than corrupting anything.
 * FixedWidthParameters (20 B): u8 order, f32 probing_multiplier,
   u32 model_type (PROBING = 0), u8 has_vocabulary, u32 search_version (0);
   then u64 counts[order]; header padded to 8.

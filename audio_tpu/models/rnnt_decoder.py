@@ -168,12 +168,23 @@ class RNNTBeamSearch:
             jax.tree.map(grow, template.pred_state),
         )
 
-    def _search(self, enc_out: jnp.ndarray, init: Hypothesis, beam_width: int) -> Hypothesis:
-        """enc_out (T, D); scans frames, returns the final beam (sorted)."""
+    def _search(
+        self,
+        enc_out: jnp.ndarray,
+        init: Hypothesis,
+        beam_width: int,
+        n_valid: Optional[jnp.ndarray] = None,
+    ) -> Hypothesis:
+        """enc_out (T, D); scans frames, returns the final beam (sorted).
+
+        ``n_valid`` (scalar) freezes the beam after that many frames — the
+        static-shape analogue of truncating ``enc_out`` to its valid length,
+        used by the batched paths where streams are padded to a common T.
+        """
 
         b_capacity = beam_width * (self.step_max_tokens + 1)
 
-        def time_step(b: Hypothesis, enc_t: jnp.ndarray) -> Tuple[Hypothesis, None]:
+        def _step(b: Hypothesis, enc_t: jnp.ndarray) -> Hypothesis:
             a = b
             b = self._empty_b(b_capacity, a)
 
@@ -208,9 +219,25 @@ class RNNTBeamSearch:
                 jnp.take(b.scores, order),
                 jnp.take(b.pred_out, order, axis=0),
                 _take_beam(b.pred_state, order),
-            ), None
+            )
 
-        final, _ = jax.lax.scan(time_step, init, enc_out)
+        if n_valid is None:
+            def time_step(b, enc_t):
+                return _step(b, enc_t), None
+
+            final, _ = jax.lax.scan(time_step, init, enc_out)
+        else:
+            def time_step(b, xs):
+                enc_t, t = xs
+                stepped = _step(b, enc_t)
+                keep = t < n_valid
+                return jax.tree.map(
+                    lambda new, old: jnp.where(keep, new, old), stepped, b
+                ), None
+
+            final, _ = jax.lax.scan(
+                time_step, init, (enc_out, jnp.arange(enc_out.shape[0]))
+            )
         return final
 
     # --- public API -----------------------------------------------------
@@ -252,7 +279,10 @@ class RNNTBeamSearch:
         return jax.tree.map(lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape).copy(), one)
 
     def forward_batch(self, input: jnp.ndarray, lengths: jnp.ndarray, beam_width: int) -> Hypothesis:
-        """Offline search over a batch. input (S, T, D); equal valid lengths.
+        """Offline search over a batch. input (S, T, D) padded to a common T;
+        ``lengths`` gives each stream's valid frames and the beam freezes at
+        each stream's encoder output length, so ragged batches decode exactly
+        like per-stream ``forward`` on the unpadded inputs.
 
         The reference decoder is architecturally single-utterance — its
         ``forward`` asserts a batch of one and expands hypotheses in a
@@ -263,11 +293,13 @@ class RNNTBeamSearch:
         rule masks per-stream convergence, so results are identical to S
         independent ``forward`` calls.
         """
-        enc_out, _ = self.model.apply(
+        enc_out, enc_lens = self.model.apply(
             self.params, input, lengths, deterministic=True, method=self.model.transcribe
         )
         init = self.init_beams(beam_width, input.shape[0])
-        return jax.vmap(lambda e, h: self._search(e, h, beam_width))(enc_out, init)
+        return jax.vmap(
+            lambda e, h, n: self._search(e, h, beam_width, n_valid=n)
+        )(enc_out, init, enc_lens)
 
     def infer_batch(
         self,
@@ -286,13 +318,15 @@ class RNNTBeamSearch:
         with all N segments stacked — the chip sees one big program instead
         of N serial beam searches.
         """
-        enc_out, _, state = self.model.apply(
+        enc_out, enc_lens, state = self.model.apply(
             self.params, input, lengths, state, deterministic=True,
             method=self.model.transcribe_streaming,
         )
         if hypotheses is None:
             hypotheses = self.init_beams(beam_width, input.shape[0])
-        final = jax.vmap(lambda e, h: self._search(e, h, beam_width))(enc_out, hypotheses)
+        final = jax.vmap(
+            lambda e, h, n: self._search(e, h, beam_width, n_valid=n)
+        )(enc_out, hypotheses, enc_lens)
         return final, state
 
     @staticmethod

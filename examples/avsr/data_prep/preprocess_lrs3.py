@@ -71,10 +71,13 @@ def load_av(path_noext: str, size: int):
     """Returns (video (T, H, W) f32, audio (L,) f32) or (None, None)."""
     if os.path.exists(path_noext + ".npy"):
         vid = np.load(path_noext + ".npy")
-        if vid.ndim == 4:  # (T, H, W, C) -> luma
-            vid = vid.mean(-1)
+        # normalize BEFORE the channel mean: mean(-1) of uint8 yields float64
+        # in 0..255 and would skip the /255, leaving values that wrap modulo
+        # 256 when the segment is re-quantized to uint8 on save
         if vid.dtype == np.uint8:
             vid = vid.astype(np.float32) / 255.0
+        if vid.ndim == 4:  # (T, H, W, C) -> luma
+            vid = vid.mean(-1)
         import audio_tpu
 
         wav, sr = audio_tpu.load(path_noext + ".wav")
@@ -214,7 +217,7 @@ def main():
                 tp = os.path.join(args.root_dir, args.dataset, "text_seg", seg_rel + ".txt")
                 for q in (vp, ap, tp):
                     os.makedirs(os.path.dirname(q), exist_ok=True)
-                np.save(vp, (v * 255).astype(np.uint8))
+                np.save(vp, (np.clip(v, 0.0, 1.0) * 255).astype(np.uint8))
                 audio_tpu.save(ap, a[None], SAMPLE_RATE)
                 with open(tp, "w") as f:
                     f.write(text + "\n")

@@ -80,6 +80,53 @@ class TestWavIO:
         m = aio.info(path)
         assert m.encoding == "PCM_F" and m.bits_per_sample == 32
 
+    def test_info_header_only_for_large_files(self, tmp_path, monkeypatch):
+        """info() on an on-disk WAV/FLAC larger than the 64 KiB probe prefix
+        must not read the sample payload (metadata passes over big corpora
+        stay I/O-cheap)."""
+        import builtins
+
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((1, 300_000)) * 0.1).astype(np.float32)
+        for ext, kw in (("wav", {"bits_per_sample": 16}), ("flac", {})):
+            path = tmp_path / f"big.{ext}"
+            aio.save(path, x, 16000, **kw)
+            assert path.stat().st_size > 65536
+
+            aio.info(path)  # warm the on-demand native codec build first
+
+            reads = []
+            real_open = builtins.open
+
+            class _Counting:
+                def __init__(self, f):
+                    self._f = f
+
+                def read(self, n=-1):
+                    reads.append(n)
+                    return self._f.read(n)
+
+                def __getattr__(self, a):
+                    return getattr(self._f, a)
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return self._f.__exit__(*a)
+
+            def counting_open(f, *a, **k):
+                h = real_open(f, *a, **k)
+                # count only reads of the audio file itself (the on-demand
+                # native-codec build may open its own source/cache files)
+                return _Counting(h) if str(f) == str(path) else h
+
+            monkeypatch.setattr(builtins, "open", counting_open)
+            m = aio.info(path)
+            monkeypatch.undo()
+            assert m.num_frames == 300_000 and m.sample_rate == 16000, ext
+            assert all(n != -1 and n <= 65536 for n in reads), (ext, reads)
+
     def test_load_normalize_false(self, tmp_path):
         x = np.asarray([[0.0, 0.5, -0.5, 1.0]], np.float32)
         path = tmp_path / "n.wav"

@@ -108,6 +108,34 @@ class TestRNNTBeamSearch:
             np.testing.assert_allclose(np.asarray(batched.scores[i]), np.asarray(single.scores),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_forward_batch_ragged_lengths(self, decoders):
+        """Padded streams with different valid lengths == per-stream forward
+        on the unpadded inputs (the beam freezes at each stream's encoder
+        output length)."""
+        _, j_dec, _ = decoders
+        rng = np.random.default_rng(9)
+        seg, rc = CFG["segment_length"], CFG["right_context_length"]
+        t_long, t_short = seg * 2 + rc, seg + rc
+        d = CFG["input_dim"]
+        x_long = rng.standard_normal((t_long, d)).astype(np.float32)
+        x_short = rng.standard_normal((t_short, d)).astype(np.float32)
+        padded = np.zeros((2, t_long, d), np.float32)
+        padded[0] = x_long
+        padded[1, :t_short] = x_short
+        # the encoder contract: lengths EXCLUDE the trailing right-context
+        # frames (the recipe right-pads features, lightning.py:79-118)
+        lens = jnp.asarray([t_long - rc, t_short - rc], jnp.int32)
+
+        batched = jax.jit(lambda inp, ln: j_dec.forward_batch(inp, ln, 4))(
+            jnp.asarray(padded), lens
+        )
+        for i, (x, t) in enumerate(((x_long, t_long - rc), (x_short, t_short - rc))):
+            single = j_dec.forward(jnp.asarray(x), jnp.asarray(t), 4)
+            np.testing.assert_array_equal(np.asarray(batched.tokens[i]), np.asarray(single.tokens))
+            np.testing.assert_array_equal(np.asarray(batched.counts[i]), np.asarray(single.counts))
+            np.testing.assert_allclose(np.asarray(batched.scores[i]), np.asarray(single.scores),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_infer_batch_matches_per_stream(self, decoders):
         """Batched streaming (carried state+beam) == per-stream infer chains."""
         _, j_dec, _ = decoders

@@ -173,10 +173,18 @@ def test_ssl_wav2vec2_recipe_real_data(tmp_path):
             lines.append(f"{fileid} HELLO WORLD\n")
         (d / f"{spk}-{chap}.trans.txt").write_text("".join(lines))
 
+    # Libri-Light limited-supervision layout for the --librilight-path branch
+    ll = tmp_path / "librispeech_finetuning" / "1h" / "0" / "clean" / "32" / "100"
+    ll.mkdir(parents=True)
+    wav = (rng.standard_normal((1, 2600)) * 0.1).astype(np.float32)
+    aio.save(str(ll / "32-100-0000.flac"), wav, 16000)
+    (ll / "32-100.trans.txt").write_text("32-100-0000 HELLO AGAIN\n")
+
     _run(
         f"{_REPO}/examples/self_supervised_learning/train_wav2vec2.py",
         ["train_wav2vec2.py", "--tiny", "--steps", "2",
-         "--librispeech-path", str(tmp_path), "--batch-size", "1"],
+         "--librispeech-path", str(tmp_path), "--librilight-path", str(tmp_path),
+         "--librilight-subset", "10min", "--batch-size", "1"],
     )
 
 
@@ -347,7 +355,9 @@ def test_avsr_real_data_pipeline(tmp_path):
         d.mkdir(parents=True)
         for u in range(n):
             frames = int(rng.integers(14, 20))
-            vid = (rng.random((frames, 24, 32)) * 255).astype(np.uint8)
+            # one utterance exercises the 4-D color-uint8 decode path
+            shape = (frames, 24, 32, 3) if (split, u) == ("trainval", 1) else (frames, 24, 32)
+            vid = (rng.random(shape) * 255).astype(np.uint8)
             np.save(d / f"{u:05d}.npy", vid)
             wav = (rng.standard_normal((1, frames * 640)) * 0.1).astype(np.float32)
             aio.save(str(d / f"{u:05d}.wav"), wav, 16000)

@@ -13,12 +13,16 @@ and the whole search is one jittable ``lax.scan`` over frames with a
 ``fori_loop`` inner expansion — no host sync per step (the reference syncs
 ``next_token_probs.cpu()`` every expansion, rnnt_decoder.py:245).
 
-Two deliberate deviations (tolerance-level, documented):
+Three deliberate deviations (tolerance-level, documented):
 * the reference assumes blank == last vocab index when scoring
   (``next_token_probs[:, :-1]``); we keep that assumption;
 * the b set uses a fixed capacity of ``beam_width * (step_max_tokens + 1)``
   slots during a frame — the exact maximum the reference's growing list can
-  reach — so the frame-end length-normalized ranking sees the same pool.
+  reach — so the frame-end length-normalized ranking sees the same pool;
+* hypothesis identity for the logaddexp merge is (count, rolling uint32
+  fingerprint) rather than full token-sequence equality: O(1) instead of
+  O(Lmax) per candidate pair, with a ~2^-32 same-length collision chance
+  (the reference compares Python tuples, rnnt_decoder.py:140-165).
 """
 
 from __future__ import annotations
@@ -43,6 +47,11 @@ class Hypothesis(NamedTuple):
     scores: jnp.ndarray  # (K,) float raw log prob
     pred_out: jnp.ndarray  # (K, 1, D) predictor output for the last token
     pred_state: Any  # pytree with leading axis K
+    sig: jnp.ndarray  # (K,) uint32 rolling token-sequence fingerprint
+
+
+# multiplier of the rolling fingerprint (FNV-1a prime): sig' = sig*P + tok+1
+_SIG_PRIME = jnp.uint32(0x01000193)
 
 
 def _take_beam(tree, idx):
@@ -102,18 +111,23 @@ class RNNTBeamSearch:
         scores = jnp.full((k,), _NEG_INF).at[0].set(0.0)
         pred_out = expand(pred_out)
         state = jax.tree.map(expand, state)
-        return Hypothesis(tokens, counts, scores, pred_out, state)
+        sig = jnp.zeros((k,), jnp.uint32)
+        return Hypothesis(tokens, counts, scores, pred_out, state, sig)
 
     def _merge_blank_into_b(self, b: Hypothesis, a: Hypothesis, blank_scores: jnp.ndarray) -> Hypothesis:
-        """logaddexp-merge a's blank extensions into b; insert new sequences."""
-        ka = a.counts.shape[0]
+        """logaddexp-merge a's blank extensions into b; insert new sequences.
+
+        Sequence identity is (count, rolling uint32 fingerprint) instead of
+        an elementwise (Ka, Kb, Lmax) token comparison — O(Ka*Kb) work per
+        inner step rather than O(Ka*Kb*Lmax); a false merge needs a same-
+        length fingerprint collision (~2^-32 per candidate pair).
+        """
         kb = b.counts.shape[0]
-        counts_eq = a.counts[:, None] == b.counts[None, :]
-        tokens_eq = jnp.all(
-            (a.tokens[:, None, :] == b.tokens[None, :, :]) | (a.tokens[:, None, :] < 0), axis=-1
-        )
-        valid = (a.counts[:, None] >= 0) & (b.counts[None, :] >= 0)
-        matches = counts_eq & tokens_eq & valid  # (Ka, Kb)
+        matches = (
+            (a.counts[:, None] == b.counts[None, :])
+            & (a.sig[:, None] == b.sig[None, :])
+            & (a.counts[:, None] >= 0) & (b.counts[None, :] >= 0)
+        )  # (Ka, Kb)
         contrib = jnp.where(matches, blank_scores[:, None], _NEG_INF)
         merged_scores = jnp.logaddexp(b.scores, jax.nn.logsumexp(contrib, axis=0))
 
@@ -125,6 +139,7 @@ class RNNTBeamSearch:
         pool_counts = jnp.concatenate([b.counts, a.counts])
         pool_pred_out = jnp.concatenate([b.pred_out, a.pred_out])
         pool_state = jax.tree.map(lambda x, y: jnp.concatenate([x, y]), b.pred_state, a.pred_state)
+        pool_sig = jnp.concatenate([b.sig, a.sig])
 
         top_scores, top_idx = jax.lax.top_k(pool_scores, kb)
         new_counts = jnp.where(top_scores > _NEG_INF / 2, jnp.take(pool_counts, top_idx), -1)
@@ -134,6 +149,7 @@ class RNNTBeamSearch:
             top_scores,
             jnp.take(pool_pred_out, top_idx, axis=0),
             _take_beam(pool_state, top_idx),
+            jnp.take(pool_sig, top_idx),
         )
 
     def _expand_a(self, a: Hypothesis, probs: jnp.ndarray, b_kth_score, beam_width: int) -> Hypothesis:
@@ -151,10 +167,14 @@ class RNNTBeamSearch:
         new_tokens = base_tokens.at[jnp.arange(beam_width), pos].set(token_idx.astype(jnp.int32))
         new_counts = jnp.where(keep, base_counts + 1, -1)
         new_scores = jnp.where(keep, flat_scores, _NEG_INF)
+        new_sig = (
+            jnp.take(a.sig, hypo_idx) * _SIG_PRIME
+            + token_idx.astype(jnp.uint32) + jnp.uint32(1)
+        )
 
         base_state = _take_beam(a.pred_state, hypo_idx)
         pred_out, new_state = self._predict(token_idx[:, None].astype(jnp.int32), base_state)
-        return Hypothesis(new_tokens, new_counts, new_scores, pred_out, new_state)
+        return Hypothesis(new_tokens, new_counts, new_scores, pred_out, new_state, new_sig)
 
     def _empty_b(self, capacity: int, template: Hypothesis) -> Hypothesis:
         def grow(x):
@@ -166,6 +186,7 @@ class RNNTBeamSearch:
             jnp.full((capacity,), _NEG_INF, template.scores.dtype),
             grow(template.pred_out),
             jax.tree.map(grow, template.pred_state),
+            jnp.zeros((capacity,), jnp.uint32),
         )
 
     def _search(
@@ -219,6 +240,7 @@ class RNNTBeamSearch:
                 jnp.take(b.scores, order),
                 jnp.take(b.pred_out, order, axis=0),
                 _take_beam(b.pred_state, order),
+                jnp.take(b.sig, order),
             )
 
         if n_valid is None:

@@ -51,7 +51,9 @@ class Hypothesis(NamedTuple):
 
 
 # multiplier of the rolling fingerprint (FNV-1a prime): sig' = sig*P + tok+1
-_SIG_PRIME = jnp.uint32(0x01000193)
+# (numpy scalar, NOT jnp: a module-level jnp constant would initialize the
+# XLA backend at import time and break jax.distributed.initialize ordering)
+_SIG_PRIME = np.uint32(0x01000193)
 
 
 def _take_beam(tree, idx):

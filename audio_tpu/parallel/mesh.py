@@ -37,8 +37,12 @@ def init_distributed(
     """
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as err:
+        # tolerate ONLY re-initialization; a connect/timeout failure must
+        # surface (silently falling back to single-process turns a comm
+        # problem into wrong training semantics)
+        if "already" not in str(err) and "only be called once" not in str(err):
+            raise
 
 
 def host_chip_mesh() -> Mesh:

@@ -79,6 +79,13 @@ def kmeans_predict(feats: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--librispeech-path", default=None,
+                   help="root containing LibriSpeech/ — real MFCC features "
+                        "for the k-means units (reference preprocess.py "
+                        "dumps train-clean-100 MFCCs)")
+    p.add_argument("--librispeech-url", default="train-clean-100")
+    p.add_argument("--max-utterances", type=int, default=1000,
+                   help="cap on real utterances fed to k-means")
     p.add_argument("--num-utterances", type=int, default=16)
     p.add_argument("--audio-seconds", type=float, default=2.0)
     p.add_argument("--num-clusters", type=int, default=100)
@@ -87,8 +94,28 @@ def main():
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
-    n_samp = int(args.audio_seconds * SAMPLE_RATE)
-    wavs = (0.1 * rng.standard_normal((args.num_utterances, n_samp))).astype(np.float32)
+    if args.librispeech_path:
+        from audio_tpu.datasets import LIBRISPEECH
+
+        ds = LIBRISPEECH(args.librispeech_path, url=args.librispeech_url)
+        idx = rng.permutation(len(ds))[: args.max_utterances]
+        # pad each utterance to the batch max (frames from padding are
+        # still real MFCC rows of silence; k-means tolerates them, and the
+        # labels are trimmed per utterance below)
+        wav_list = []
+        for i in idx:
+            w = np.asarray(ds[int(i)][0], np.float32).reshape(-1)
+            wav_list.append(w)
+        n_samp = max(w.shape[-1] for w in wav_list)
+        wavs = np.zeros((len(wav_list), n_samp), np.float32)
+        for j, w in enumerate(wav_list):
+            wavs[j, : w.shape[-1]] = w
+        print(f"LibriSpeech: {len(wav_list)} utterances, max {n_samp} samples")
+    elif args.synthetic:
+        n_samp = int(args.audio_seconds * SAMPLE_RATE)
+        wavs = (0.1 * rng.standard_normal((args.num_utterances, n_samp))).astype(np.float32)
+    else:
+        raise SystemExit("pass --synthetic or --librispeech-path")
 
     feats = mfcc_features(jnp.asarray(wavs))  # (B, frames, 39)
     b, t, d = feats.shape

@@ -47,6 +47,58 @@ def pit_neg_si_snr(estimates: jnp.ndarray, references: jnp.ndarray) -> jnp.ndarr
     return -jnp.max(scores, axis=-1).mean()
 
 
+class LibriMixBatches:
+    """Real Libri2Mix/Libri3Mix batches via ``audio_tpu.datasets.LibriMix``.
+
+    Mirrors the reference dataloader
+    (/root/reference/examples/source_separation/utils/dataset/utils.py):
+    random fixed-duration crops (3 s default, second-aligned starts) from
+    each mixture's sources; short utterances are zero-padded.  The train
+    step derives the mixture as sum(sources), matching the sep_clean task.
+    """
+
+    def __init__(self, root, batch_size, num_sources, subset="train-360",
+                 seconds=3.0, seed=0):
+        from audio_tpu.datasets import LibriMix
+
+        self.ds = LibriMix(root, subset=subset, num_speakers=num_sources,
+                           sample_rate=SAMPLE_RATE)
+        if len(self.ds) == 0:
+            raise SystemExit(f"no mixtures found under {root}")
+        self.batch_size = batch_size
+        self.num_sources = num_sources
+        self.n = int(seconds * SAMPLE_RATE)
+        self.rng = np.random.default_rng(seed)
+
+    def _crop(self, srcs):
+        t = srcs[0].shape[-1]
+        if t <= self.n:
+            out = np.zeros((self.num_sources, self.n), np.float32)
+            for i, s in enumerate(srcs):
+                out[i, :t] = np.asarray(s, np.float32).reshape(-1)
+            return out
+        # second-aligned random start, the reference convention (utils.py:37)
+        max_start_s = (t - self.n) // SAMPLE_RATE
+        start = int(self.rng.integers(0, max_start_s + 1)) * SAMPLE_RATE
+        return np.stack([
+            np.asarray(s, np.float32).reshape(-1)[start: start + self.n] for s in srcs
+        ])
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.ds))
+        pos = 0
+        while True:
+            batch = []
+            for _ in range(self.batch_size):
+                if pos >= len(order):
+                    order = self.rng.permutation(len(self.ds))
+                    pos = 0
+                _sr, _mixed, srcs = self.ds[int(order[pos])]
+                pos += 1
+                batch.append(self._crop(srcs))
+            yield np.stack(batch)  # (B, S, T)
+
+
 class SyntheticMixtures:
     """Random tone+noise source pairs; mixture = sum of sources."""
 
@@ -74,6 +126,11 @@ def main():
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--librimix-path", default=None,
+                   help="root containing Libri{2,3}Mix/ (LibriMix corpus)")
+    p.add_argument("--librimix-subset", default="train-360")
+    p.add_argument("--seconds", type=float, default=3.0,
+                   help="crop duration for real data (reference: 3 s)")
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -96,7 +153,15 @@ def main():
 
         model = conv_tasnet_base(num_sources=args.num_sources)
 
-    data = SyntheticMixtures(args.global_batch, args.num_sources)
+    if args.librimix_path:
+        data = LibriMixBatches(args.librimix_path, args.global_batch,
+                               args.num_sources, subset=args.librimix_subset,
+                               seconds=args.seconds)
+        print(f"LibriMix: {len(data.ds)} mixtures")
+    elif args.synthetic:
+        data = SyntheticMixtures(args.global_batch, args.num_sources)
+    else:
+        raise SystemExit("pass --synthetic or --librimix-path")
     src0 = next(iter(data))
     mix0 = src0.sum(axis=1, keepdims=True)
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(mix0))["params"]

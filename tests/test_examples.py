@@ -393,3 +393,60 @@ def test_avsr_real_data_pipeline(tmp_path):
         ["eval.py", "--tiny", "--batches", "1", "--global-batch", "2",
          "--lrs3-path", str(out_root)],
     )
+
+
+@pytest.mark.slow
+def test_source_separation_recipe_real_data(tmp_path):
+    """2 real steps from an on-disk Libri2Mix-layout corpus through
+    audio_tpu.datasets.LibriMix (the reference trains ConvTasNet on
+    LibriMix, examples/source_separation/README.md)."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(13)
+    base = tmp_path / "Libri2Mix" / "wav8k" / "min" / "train-360"
+    for sub in ("mix_clean", "s1", "s2"):
+        (base / sub).mkdir(parents=True)
+    for i in range(3):
+        t = int(rng.integers(6000, 20000))
+        s1 = (rng.standard_normal((1, t)) * 0.1).astype(np.float32)
+        s2 = (rng.standard_normal((1, t)) * 0.1).astype(np.float32)
+        name = f"utt{i}.wav"
+        aio.save(str(base / "s1" / name), s1, 8000)
+        aio.save(str(base / "s2" / name), s2, 8000)
+        aio.save(str(base / "mix_clean" / name), s1 + s2, 8000)
+
+    _run(
+        f"{_REPO}/examples/source_separation/train.py",
+        ["train.py", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--librimix-path", str(tmp_path), "--seconds", "1.0"],
+    )
+
+
+@pytest.mark.slow
+def test_hubert_preprocess_real_data(tmp_path):
+    """k-means pseudo-labels from an on-disk LibriSpeech-layout corpus."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(17)
+    d = tmp_path / "LibriSpeech" / "train-clean-100" / "7" / "11"
+    d.mkdir(parents=True)
+    lines = []
+    for u in range(3):
+        fileid = f"7-11-{u:04d}"
+        wav = (rng.standard_normal((1, int(rng.integers(3000, 5000)))) * 0.1)
+        aio.save(str(d / f"{fileid}.flac"), wav.astype(np.float32), 16000)
+        lines.append(f"{fileid} HI\n")
+    (d / "7-11.trans.txt").write_text("".join(lines))
+
+    out = tmp_path / "labels.npz"
+    _run(
+        f"{_REPO}/examples/hubert/preprocess.py",
+        ["preprocess.py", "--librispeech-path", str(tmp_path),
+         "--num-clusters", "8", "--out", str(out)],
+    )
+    blob = np.load(out)
+    assert blob["labels"].ndim == 2 and blob["centroids"].shape == (8, 39)

@@ -102,19 +102,20 @@ class LJSpeechBatches:
         )
 
     def __iter__(self):
-        order = np.random.default_rng(0).permutation(len(self.ds))
+        rng = np.random.default_rng(0)
         batch = []
-        for i in order:
-            wav, sr, _, text = self.ds[int(i)]
-            tokens = text_to_sequence(text)[: self.max_text]
-            if not tokens:
-                continue
-            mel = np.log(np.clip(np.asarray(self.melspec(jnp.asarray(wav).reshape(-1))), 1e-5, None))
-            mel = mel[:, : self.max_frames]
-            batch.append((tokens, mel))
-            if len(batch) == self.batch_size:
-                yield self._collate(batch)
-                batch = []
+        while True:  # cycle epochs so corpora smaller than a batch still train
+            for i in rng.permutation(len(self.ds)):
+                wav, sr, _, text = self.ds[int(i)]
+                tokens = text_to_sequence(text)[: self.max_text]
+                if not tokens:
+                    continue
+                mel = np.log(np.clip(np.asarray(self.melspec(jnp.asarray(wav).reshape(-1))), 1e-5, None))
+                mel = mel[:, : self.max_frames]
+                batch.append((tokens, mel))
+                if len(batch) == self.batch_size:
+                    yield self._collate(batch)
+                    batch = []
 
     def _collate(self, batch):
         tok_lens = np.array([len(t) for t, _ in batch], np.int32)

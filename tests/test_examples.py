@@ -450,3 +450,35 @@ def test_hubert_preprocess_real_data(tmp_path):
     )
     blob = np.load(out)
     assert blob["labels"].ndim == 2 and blob["centroids"].shape == (8, 39)
+
+
+@pytest.mark.slow
+def test_tts_recipes_real_data(tmp_path):
+    """Tacotron2 + WaveRNN recipes train 2 steps from an on-disk
+    LJSpeech-layout corpus (metadata.csv + wavs/) through
+    audio_tpu.datasets.LJSPEECH."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(23)
+    base = tmp_path / "LJSpeech-1.1"
+    (base / "wavs").mkdir(parents=True)
+    rows = []
+    for i in range(3):
+        name = f"LJ001-{i:04d}"
+        wav = (rng.standard_normal((1, int(rng.integers(18000, 26000)))) * 0.1)
+        aio.save(str(base / "wavs" / f"{name}.wav"), wav.astype(np.float32), 22050)
+        rows.append(f"{name}|Some text {i}|Some text {i}\n")
+    (base / "metadata.csv").write_text("".join(rows))
+
+    _run(
+        f"{_REPO}/examples/tts/tacotron2/train.py",
+        ["train.py", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--ljspeech-path", str(tmp_path)],
+    )
+    _run(
+        f"{_REPO}/examples/tts/wavernn/train.py",
+        ["train.py", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--ljspeech-path", str(tmp_path)],
+    )

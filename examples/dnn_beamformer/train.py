@@ -122,6 +122,75 @@ def si_sdr_loss(estimate, clean, eps=1e-8):
     return -10.0 * jnp.log10(ratio + eps).mean()
 
 
+class L3DAS22Batches:
+    """Real L3DAS22 Task-1 batches (ambisonic A+B mic pairs -> clean target).
+
+    Mirrors the reference datamodule
+    (/root/reference/examples/dnn_beamformer/datamodule.py:22-57): walks
+    ``<root>/L3DAS22_Task1_<sub>/data/*_A.wav``, stacks the A and B
+    4-channel mics into an 8-channel mixture, pairs it with
+    ``labels/<utt>.wav``, filters clips shorter than ``min_len`` and crops
+    everything to a common ``seconds`` window.
+    """
+
+    _SUBSETS = {"train360": ["train360_1", "train360_2"],
+                "train100": ["train100"], "dev": ["dev"], "test": ["test"]}
+
+    def __init__(self, root, batch_size, subset="train360", seconds=4.0,
+                 min_len=64000, seed=0):
+        import pathlib
+
+        import audio_tpu
+
+        if subset not in self._SUBSETS:
+            raise ValueError(f"subset must be one of {sorted(self._SUBSETS)}")
+        self.files = []
+        for sub in self._SUBSETS[subset]:
+            path = pathlib.Path(root) / f"L3DAS22_Task1_{sub}" / "data"
+            found = [str(p) for p in path.glob("*_A.wav")
+                     if audio_tpu.info(str(p)).num_frames >= min_len]
+            self.files += found
+        if not self.files:
+            raise SystemExit(f"no *_A.wav clips >= {min_len} samples under {root}")
+        self.batch_size = batch_size
+        self.n = int(seconds * SAMPLE_RATE)
+        self.min_len = min_len
+        self.rng = np.random.default_rng(seed)
+
+    def _load(self, path_a):
+        import os
+
+        import audio_tpu
+
+        a, sr = audio_tpu.load(path_a)
+        b, _ = audio_tpu.load(path_a.replace("_A.wav", "_B.wav"))
+        clean_path = os.path.join(os.path.dirname(os.path.dirname(path_a)), "labels",
+                                  os.path.basename(path_a).replace("_A.wav", ".wav"))
+        clean, _ = audio_tpu.load(clean_path)
+        assert sr == SAMPLE_RATE, sr
+        mix = np.concatenate([np.asarray(a, np.float32), np.asarray(b, np.float32)])
+        clean = np.asarray(clean, np.float32).reshape(-1)
+        n = min(self.n, mix.shape[-1], clean.shape[-1])
+        out_mix = np.zeros((mix.shape[0], self.n), np.float32)
+        out_clean = np.zeros((self.n,), np.float32)
+        out_mix[:, :n] = mix[:, :n]
+        out_clean[:n] = clean[:n]
+        return out_mix, out_clean
+
+    def __iter__(self):
+        pos, order = 0, self.rng.permutation(len(self.files))
+        while True:
+            mixes, cleans = [], []
+            for _ in range(self.batch_size):
+                if pos >= len(order):
+                    pos, order = 0, self.rng.permutation(len(self.files))
+                m, c = self._load(self.files[int(order[pos])])
+                pos += 1
+                mixes.append(m)
+                cleans.append(c)
+            yield np.stack(mixes), np.stack(cleans)
+
+
 class SyntheticBatches:
     """Clean speech-band noise + directional interference over C channels."""
 
@@ -148,12 +217,26 @@ def main():
     p.add_argument("--weight-decay", type=float, default=1e-8)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--l3das22-path", default=None,
+                   help="root containing L3DAS22_Task1_*/ (the reference corpus)")
+    p.add_argument("--l3das22-subset", default="train360",
+                   choices=["train360", "train100", "dev", "test"])
+    p.add_argument("--seconds", type=float, default=4.0)
+    p.add_argument("--min-len", type=int, default=64000)
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
     print(f"mesh: {mesh.shape}, devices: {len(jax.devices())}")
 
-    data = SyntheticBatches(args.global_batch)
+    if args.l3das22_path:
+        data = L3DAS22Batches(args.l3das22_path, args.global_batch,
+                              subset=args.l3das22_subset, seconds=args.seconds,
+                              min_len=args.min_len)
+        print(f"L3DAS22: {len(data.files)} clips")
+    elif args.synthetic:
+        data = SyntheticBatches(args.global_batch)
+    else:
+        raise SystemExit("pass --synthetic or --l3das22-path")
     if args.tiny:
         model = DNNBeamformer(n_fft=128, hop_length=64, mask_hidden=16,
                               mask_blocks=2, mask_repeats=1)

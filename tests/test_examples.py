@@ -482,3 +482,31 @@ def test_tts_recipes_real_data(tmp_path):
         ["train.py", "--tiny", "--steps", "2", "--global-batch", "8",
          "--ljspeech-path", str(tmp_path)],
     )
+
+
+@pytest.mark.slow
+def test_dnn_beamformer_real_data(tmp_path):
+    """2 real steps from an on-disk L3DAS22-layout corpus (A/B ambisonic
+    mic pairs + clean labels), mirroring the reference datamodule."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(29)
+    base = tmp_path / "L3DAS22_Task1_train100"
+    (base / "data").mkdir(parents=True)
+    (base / "labels").mkdir()
+    for i in range(2):
+        t = 9000
+        clean = (rng.standard_normal((1, t)) * 0.1).astype(np.float32)
+        for mic in "AB":
+            noisy = np.repeat(clean, 4, axis=0) + 0.02 * rng.standard_normal((4, t)).astype(np.float32)
+            aio.save(str(base / "data" / f"utt{i}_{mic}.wav"), noisy, 16000)
+        aio.save(str(base / "labels" / f"utt{i}.wav"), clean, 16000)
+
+    _run(
+        f"{_REPO}/examples/dnn_beamformer/train.py",
+        ["train.py", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--l3das22-path", str(tmp_path), "--l3das22-subset", "train100",
+         "--seconds", "0.5", "--min-len", "8000"],
+    )

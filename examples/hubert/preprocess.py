@@ -94,11 +94,13 @@ def main():
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
+    paths = None
     if args.librispeech_path:
         from audio_tpu.datasets import LIBRISPEECH
 
         ds = LIBRISPEECH(args.librispeech_path, url=args.librispeech_url)
         idx = rng.permutation(len(ds))[: args.max_utterances]
+        paths = [ds.get_metadata(int(i))[0] for i in idx]
         # pad each utterance to the batch max (frames from padding are
         # still real MFCC rows of silence; k-means tolerates them, and the
         # labels are trimmed per utterance below)
@@ -122,7 +124,12 @@ def main():
     flat = feats.reshape(-1, d)
     centroids, labels = kmeans_fit(flat, jax.random.PRNGKey(0), args.num_clusters, args.kmeans_iters)
     labels = np.asarray(labels).reshape(b, t)
-    np.savez(args.out, labels=labels, centroids=np.asarray(centroids))
+    extra = {}
+    if paths is not None:
+        # relpaths (vs the dataset archive root) so pretrain.py can pair
+        # each label row with its real audio
+        extra = {"paths": np.asarray(paths), "url": args.librispeech_url}
+    np.savez(args.out, labels=labels, centroids=np.asarray(centroids), **extra)
     print(f"wrote {args.out}: labels {labels.shape}, {args.num_clusters} clusters, "
           f"occupancy {len(np.unique(labels))}/{args.num_clusters}")
 

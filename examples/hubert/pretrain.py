@@ -73,6 +73,9 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--labels", default=None, help="labels.npz from preprocess.py")
+    p.add_argument("--librispeech-path", default=None,
+                   help="with a labels.npz that carries utterance paths, "
+                        "train on the REAL audio the labels were fit on")
     p.add_argument("--num-classes", type=int, default=100)
     p.add_argument("--audio-seconds", type=float, default=1.0)
     p.add_argument("--masked-weight", type=float, default=1.0)
@@ -100,10 +103,37 @@ def main():
         labels = rng.integers(0, args.num_classes, (args.global_batch, n_frames)).astype(np.int32)
         return wav, labels
 
+    real = None
     if args.labels:
         data = np.load(args.labels)
         all_labels = data["labels"]
         print(f"loaded labels {all_labels.shape} from {args.labels}")
+        if args.librispeech_path and "paths" in data:
+            import os
+
+            from audio_tpu.datasets import LIBRISPEECH
+
+            ds = LIBRISPEECH(args.librispeech_path, url=str(data["url"]))
+            root = ds._archive
+            rel_paths = [str(pth) for pth in data["paths"]]
+            n_lab_frames = min(all_labels.shape[1], n_frames)
+
+            def real_batch(step):
+                import audio_tpu
+
+                b = args.global_batch
+                wav = np.zeros((b, n_samp), np.float32)
+                labels = np.zeros((b, n_frames), np.int32)
+                for j in range(b):
+                    k = (step * b + j) % len(rel_paths)
+                    w, _sr = audio_tpu.load(os.path.join(root, rel_paths[k]))
+                    w = np.asarray(w, np.float32).reshape(-1)[:n_samp]
+                    wav[j, : w.shape[-1]] = w
+                    labels[j, :n_lab_frames] = all_labels[k, :n_lab_frames]
+                return wav, labels
+
+            real = real_batch
+            print(f"real audio: {len(rel_paths)} utterances from {root}")
 
     wav0, lab0 = synthetic_batch()
     variables = model.init(
@@ -142,7 +172,7 @@ def main():
     key = jax.random.PRNGKey(3)
     t0 = time.time()
     for step in range(args.steps):
-        wav, labels = synthetic_batch()
+        wav, labels = real(step) if real is not None else synthetic_batch()
         wav = jax.device_put(jnp.asarray(wav), bsh)
         labels = jax.device_put(jnp.asarray(labels), bsh)
         key, sub = jax.random.split(key)

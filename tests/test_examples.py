@@ -450,6 +450,15 @@ def test_hubert_preprocess_real_data(tmp_path):
     )
     blob = np.load(out)
     assert blob["labels"].ndim == 2 and blob["centroids"].shape == (8, 39)
+    assert len(blob["paths"]) == blob["labels"].shape[0]
+
+    # full pipeline: pretrain 2 steps on the REAL audio the labels index
+    _run(
+        f"{_REPO}/examples/hubert/pretrain.py",
+        ["pretrain.py", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--labels", str(out), "--librispeech-path", str(tmp_path),
+         "--num-classes", "8", "--audio-seconds", "0.2"],
+    )
 
 
 @pytest.mark.slow

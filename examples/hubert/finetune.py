@@ -117,33 +117,33 @@ def main():
         ds = LibriLightLimited(args.dataset_path, subset=args.subset)
 
         def data_iter():
+            # partial batches carry ACROSS epochs: a corpus smaller than
+            # one global batch must still fill batches (by cycling) instead
+            # of looping forever without yielding
             epoch = 0
+            wavs, tgts = [], []
             while True:  # endless epochs until --steps is reached
                 order = np.random.default_rng(1 + epoch).permutation(len(ds))
                 epoch += 1
-                yield from _epoch(order)
-
-        def _epoch(order):
-            wavs, tgts = [], []
-            for i in order:
-                wav, sr, transcript, *_ = ds[int(i)]
-                wavs.append(np.asarray(wav).reshape(-1))
-                tgts.append(encode_transcript(transcript))
-                if len(wavs) == args.global_batch:
-                    t_max = max(w.size for w in wavs)
-                    l_max = max(t.size for t in tgts)
-                    wav_b = np.zeros((len(wavs), t_max), np.float32)
-                    tgt_b = np.zeros((len(tgts), l_max), np.int32)
-                    for j, (w, t) in enumerate(zip(wavs, tgts)):
-                        wav_b[j, : w.size] = w
-                        tgt_b[j, : t.size] = t
-                    yield (
-                        wav_b,
-                        np.asarray([w.size for w in wavs], np.int32),
-                        tgt_b,
-                        np.asarray([t.size for t in tgts], np.int32),
-                    )
-                    wavs, tgts = [], []
+                for i in order:
+                    wav, sr, transcript, *_ = ds[int(i)]
+                    wavs.append(np.asarray(wav).reshape(-1))
+                    tgts.append(encode_transcript(transcript))
+                    if len(wavs) == args.global_batch:
+                        t_max = max(w.size for w in wavs)
+                        l_max = max(t.size for t in tgts)
+                        wav_b = np.zeros((len(wavs), t_max), np.float32)
+                        tgt_b = np.zeros((len(tgts), l_max), np.int32)
+                        for j, (w, t) in enumerate(zip(wavs, tgts)):
+                            wav_b[j, : w.size] = w
+                            tgt_b[j, : t.size] = t
+                        yield (
+                            wav_b,
+                            np.asarray([w.size for w in wavs], np.int32),
+                            tgt_b,
+                            np.asarray([t.size for t in tgts], np.int32),
+                        )
+                        wavs, tgts = [], []
 
         batches = data_iter()
 

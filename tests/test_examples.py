@@ -519,3 +519,29 @@ def test_dnn_beamformer_real_data(tmp_path):
          "--l3das22-path", str(tmp_path), "--l3das22-subset", "train100",
          "--seconds", "0.5", "--min-len", "8000"],
     )
+
+
+@pytest.mark.slow
+def test_hubert_finetune_real_data(tmp_path):
+    """CTC fine-tune 2 real steps from an on-disk Libri-Light-layout corpus
+    (the reference fine-tunes on librispeech_finetuning subsets)."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(31)
+    ll = tmp_path / "librispeech_finetuning" / "1h" / "0" / "clean" / "40" / "222"
+    ll.mkdir(parents=True)
+    lines = []
+    for u in range(2):
+        fileid = f"40-222-{u:04d}"
+        wav = (rng.standard_normal((1, 4000)) * 0.1).astype(np.float32)
+        aio.save(str(ll / f"{fileid}.flac"), wav, 16000)
+        lines.append(f"{fileid} HELLO WORLD\n")
+    (ll / "40-222.trans.txt").write_text("".join(lines))
+
+    _run(
+        f"{_REPO}/examples/hubert/finetune.py",
+        ["finetune.py", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--dataset-path", str(tmp_path), "--subset", "10min"],
+    )

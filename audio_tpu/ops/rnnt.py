@@ -196,15 +196,17 @@ def _rnnt_fwd(logits, targets, logit_lengths, target_lengths, blank, clamp, fuse
     return costs, (logits, targets, logit_lengths, target_lengths, alphas, betas)
 
 
-def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
-    logits, targets, logit_lengths, target_lengths, alphas, betas = res
-    b, t_max, u1, v = logits.shape
+def occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths):
+    """Analytic d(-ll)/d(blank_lp, label_lp): negative lattice occupancies.
+
+    The per-cell gradients of the transducer loss wrt the blank/label
+    log-probs (the standard alpha·beta posteriors, cpu_kernels.h
+    ComputeGradients); shared by the full loss backward and the
+    log-prob-level losses in :mod:`audio_tpu.ops.rnnt_pruned`.
+    """
+    b, t_max, u1 = blank_lp.shape
     u_max = u1 - 1
     ll = betas[:, 0, 0][:, None, None]
-
-    log_probs = _as_logprobs(logits, fused_log_softmax)
-    blank_lp, label_lp = _gather_lps(log_probs, targets, blank)
-
     t_idx = jnp.arange(t_max)[None, :, None]
     u_idx = jnp.arange(u1)[None, None, :]
     in_range = (t_idx < logit_lengths[:, None, None]) & (u_idx <= target_lengths[:, None, None])
@@ -226,6 +228,16 @@ def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
         jnp.arange(u_max)[None, None, :] < target_lengths[:, None, None]
     )
     g_label = jnp.where(label_in_range, g_label, 0.0)
+    return g_blank, g_label
+
+
+def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
+    logits, targets, logit_lengths, target_lengths, alphas, betas = res
+    b, t_max, u1, v = logits.shape
+
+    log_probs = _as_logprobs(logits, fused_log_softmax)
+    blank_lp, label_lp = _gather_lps(log_probs, targets, blank)
+    g_blank, g_label = occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
 
     # Gradient wrt log_probs as ONE fused broadcast expression over the
     # (B,T,U+1,V) lattice: a blank-column indicator plus a one-hot spread of

@@ -1,0 +1,406 @@
+"""Pruned (banded) RNN-T loss — the TPU answer to the joiner-lattice HBM wall.
+
+The reference manages the full (B, T, U+1, V) joiner lattice with a
+caller-allocated fused workspace arena
+(/root/reference/src/libtorchaudio/rnnt/workspace.h:20-110) and an in-kernel
+log-softmax denominator (rnnt/gpu/gpu_transducer.h:86-211) — the lattice is
+still materialized, so batch is HBM-capped (B=32 bf16 at T'=128, U=64,
+V=4097 on one v5e; B=64 does not compile — docs/performance.md).
+
+This module removes the lattice instead of managing it, following the
+pruned-transducer construction of Kuang et al., "Pruned RNN-T for fast,
+memory-efficient ASR training" (Interspeech 2022, arXiv:2206.13236), built
+TPU-first:
+
+1. :func:`rnnt_loss_simple` scores a *trivial* joiner ``am[t, v] + lm[u, v]``
+   whose per-cell log-softmax denominator is ONE stable logsumexp matmul
+   (``exp(am) @ exp(lm)^T`` with max-shifts) — an MXU contraction over V, so
+   the full-lattice DP costs O(B·T·U) with no (B,T,U,V) tensor anywhere.
+2. :func:`get_rnnt_prune_ranges` turns the simple loss's lattice posteriors
+   into a per-frame band of ``s`` consecutive u-positions (monotone
+   non-decreasing starts, adjacent-row overlap ≥ 1), all enforced with
+   vectorized cummax / prefix-min passes — no host round trip.
+3. :func:`rnnt_loss_pruned` runs the exact forward-backward DP restricted to
+   the band: only the (B, T, s, V) banded joiner output is ever materialized
+   (s≈16 → 4× less HBM and 4× fewer joiner FLOPs at U=64), with the same
+   log-semiring ``lax.associative_scan`` row solve and fused single-pass
+   analytic backward as :mod:`audio_tpu.ops.rnnt`.
+
+The banded DP is *exact* on the pruned lattice: with a band that covers the
+whole lattice (``s >= U+1``) it equals the full loss bit-for-bit (up to
+reassociation), and with a narrow band it lower-bounds the full
+log-likelihood by excluding out-of-band paths (tested in
+tests/functional/test_rnnt_pruned.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .rnnt import _NEG_INF, _semiring_scan, occupancy_grads
+
+__all__ = [
+    "rnnt_loss_simple_core",
+    "get_rnnt_prune_ranges",
+    "prune_target_encodings",
+    "rnnt_loss_pruned_core",
+]
+
+
+# =========================================================================
+# Simple (trivial-joiner) loss: full-lattice DP without the V axis
+# =========================================================================
+def _simple_lps(am, lm, targets, blank):
+    """Per-cell blank/label log-probs of the trivial joiner am[t]+lm[u].
+
+    am: (B, T, V) encoder-side logits; lm: (B, U+1, V) predictor-side logits.
+    Returns blank_lp (B, T, U+1), label_lp (B, T, U) — log-softmax over V of
+    ``am[t] + lm[u]`` evaluated at blank / targets[u], computed without ever
+    forming the (B, T, U+1, V) sum: the denominator
+    ``logsumexp_v(am[t,v] + lm[u,v])`` is a max-shifted exp-matmul.
+    """
+    am = am.astype(jnp.float32)
+    lm = lm.astype(jnp.float32)
+    am_m = jnp.max(am, axis=-1)  # (B, T)
+    lm_m = jnp.max(lm, axis=-1)  # (B, U+1)
+    # (B, T, U+1) = log( exp(am - am_m) @ exp(lm - lm_m)^T ) + shifts
+    inner = jnp.einsum("btv,buv->btu", jnp.exp(am - am_m[..., None]), jnp.exp(lm - lm_m[..., None]))
+    denom = am_m[:, :, None] + lm_m[:, None, :] + jnp.log(inner)
+
+    blank_lp = am[:, :, blank][:, :, None] + lm[:, None, :, blank] - denom
+    u = targets.shape[1]
+    am_y = jnp.take_along_axis(am, jnp.broadcast_to(targets[:, None, :], (am.shape[0], am.shape[1], u)), axis=2)
+    lm_y = jnp.take_along_axis(lm[:, :u, :], targets[:, :, None], axis=2)[..., 0]  # (B, U)
+    label_lp = am_y + lm_y[:, None, :] - denom[:, :, :u]
+    return blank_lp, label_lp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _lps_loss(blank_lp, label_lp, logit_lengths, target_lengths):
+    """Transducer costs (B,) from per-cell log-probs, analytic VJP."""
+    from .rnnt import rnnt_loss_from_logprobs
+
+    costs, _, _ = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
+    return costs
+
+
+def _lps_loss_fwd(blank_lp, label_lp, logit_lengths, target_lengths):
+    from .rnnt import rnnt_loss_from_logprobs
+
+    costs, alphas, betas = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
+    return costs, (blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
+
+
+def _lps_loss_bwd(res, g):
+    blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths = res
+    g_blank, g_label = occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
+    return (g_blank * g[:, None, None], g_label * g[:, None, None], None, None)
+
+
+_lps_loss.defvjp(_lps_loss_fwd, _lps_loss_bwd)
+
+
+def rnnt_loss_simple_core(
+    am: jnp.ndarray,
+    lm: jnp.ndarray,
+    targets: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    blank: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trivial-joiner transducer loss + lattice posteriors for pruning.
+
+    Returns ``(costs (B,), posteriors (B, T, U+1))`` where ``posteriors`` is
+    the (stop-gradiented) probability that a path passes through each lattice
+    cell — the band-selection signal for :func:`get_rnnt_prune_ranges`.
+    """
+    blank_lp, label_lp = _simple_lps(am, lm, targets, blank)
+    costs = _lps_loss(blank_lp, label_lp, logit_lengths, target_lengths)
+
+    # posteriors under stop_gradient: ranges are data, not a gradient path
+    from .rnnt import rnnt_alphas, rnnt_betas
+
+    sg = jax.lax.stop_gradient
+    b_lp, l_lp = sg(blank_lp), sg(label_lp)
+    alphas = rnnt_alphas(b_lp, l_lp, logit_lengths, target_lengths)
+    betas = rnnt_betas(b_lp, l_lp, logit_lengths, target_lengths)
+    ll = betas[:, 0, 0][:, None, None]
+    t_idx = jnp.arange(b_lp.shape[1])[None, :, None]
+    u_idx = jnp.arange(b_lp.shape[2])[None, None, :]
+    valid = (t_idx < logit_lengths[:, None, None]) & (u_idx <= target_lengths[:, None, None])
+    post = jnp.where(valid, jnp.exp(alphas + betas - ll), 0.0)
+    return costs, post
+
+
+# =========================================================================
+# Prune-range construction
+# =========================================================================
+def get_rnnt_prune_ranges(
+    posteriors: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    s: int,
+) -> jnp.ndarray:
+    """Per-frame bands of ``s`` consecutive target positions.
+
+    posteriors: (B, T, U+1) lattice occupancies (from
+    :func:`rnnt_loss_simple_core`).  Returns ``ranges`` (B, T, s) int32 of
+    absolute u indices satisfying the banded-DP contract:
+
+    * ``ranges[b, t, j] = start[b, t] + j`` (consecutive),
+    * ``start[b, 0] = 0`` (the DP origin is in band),
+    * ``start`` non-decreasing with ``start[t+1] - start[t] <= s - 1``
+      (adjacent bands overlap by >= 1, so blank moves always connect),
+    * the final band covers ``U_b``: ``start[b, T_b - 1] = max(0, U_b-s+1)``.
+
+    Feasibility requires ``(s - 1) * (T_b - 1) >= U_b - s + 1`` (a band of
+    width s can advance at most s-1 labels per frame); callers should pick
+    ``s >= U/T + 1`` with slack.  All passes are vectorized (cummax +
+    prefix-min + closed-form lower bound) — no host sync.
+    """
+    b, t_max, u1 = posteriors.shape
+    sm1 = jnp.int32(s - 1)
+    cap = jnp.maximum(target_lengths + 1 - s, 0)  # start <= max(0, U_b - s + 1)
+
+    # best window start per frame: argmax of the sliding occupancy sum
+    csum = jnp.cumsum(posteriors, axis=-1)
+    csum = jnp.pad(csum, ((0, 0), (0, 0), (1, 0)))  # (B, T, U+2), csum[..., k] = sum_{<k}
+    w = max(u1 - s + 1, 1)
+    win = csum[:, :, jnp.minimum(jnp.arange(w) + s, u1)] - csum[:, :, :w]
+    raw = jnp.argmax(win, axis=-1).astype(jnp.int32)  # (B, T)
+    raw = jnp.minimum(raw, cap[:, None])
+    raw = raw.at[:, 0].set(0)
+
+    # monotone non-decreasing
+    start = jax.lax.cummax(raw, axis=1)
+    # step <= s-1:  start[t] <- min_k<=t raw'[k] + (t-k)(s-1)
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    start = jax.lax.cummin(start - t_idx * sm1, axis=1) + t_idx * sm1
+    # termination lower bound: reach max(0, U_b-s+1) by t = T_b-1 climbing <= s-1/frame
+    steps_left = jnp.maximum((logit_lengths - 1)[:, None] - t_idx, 0)
+    lb = jnp.maximum(cap[:, None] - steps_left * sm1, 0)
+    start = jnp.maximum(start, lb)
+    return start[:, :, None] + jnp.arange(s, dtype=jnp.int32)[None, None, :]
+
+
+def prune_target_encodings(target_encodings: jnp.ndarray, ranges: jnp.ndarray) -> jnp.ndarray:
+    """Gather predictor outputs into the band: (B, U+1, D), (B, T, s) -> (B, T, s, D)."""
+    return jax.vmap(lambda p, r: p[r])(target_encodings, ranges)
+
+
+# =========================================================================
+# Banded exact DP + fused analytic backward
+# =========================================================================
+def _masked_band_lps(log_probs, targets, ranges, logit_lengths, target_lengths, blank):
+    """Banded blank/label log-probs with validity masks applied.
+
+    log_probs: (B, T, S, V); returns blank_lp, label_lp (B, T, S) where
+    out-of-lattice cells (u > U_b or t >= T_b) are _NEG_INF.
+    """
+    b, t_max, s, v = log_probs.shape
+    blank_lp = log_probs[..., blank]
+    u_cnt = targets.shape[1]
+    tgt_at = jax.vmap(lambda tg, r: tg[jnp.clip(r, 0, u_cnt - 1)])(targets, ranges)  # (B, T, S)
+    label_lp = jnp.take_along_axis(log_probs, tgt_at[..., None], axis=-1)[..., 0]
+
+    t_idx = jnp.arange(t_max)[None, :, None]
+    t_ok = t_idx < logit_lengths[:, None, None]
+    cell_ok = t_ok & (ranges <= target_lengths[:, None, None])
+    label_ok = t_ok & (ranges < target_lengths[:, None, None])
+    return (
+        jnp.where(cell_ok, blank_lp, _NEG_INF),
+        jnp.where(label_ok, label_lp, _NEG_INF),
+        tgt_at,
+        cell_ok,
+        label_ok,
+    )
+
+
+def _shift_rows(rows: jnp.ndarray, shift: jnp.ndarray, fill: float) -> jnp.ndarray:
+    """out[..., j] = rows[..., j + shift] (per-row traced shift), OOB -> fill."""
+    s = rows.shape[-1]
+    idx = jnp.arange(s) + shift[..., None]
+    ok = (idx >= 0) & (idx < s)
+    return jnp.where(ok, jnp.take_along_axis(rows, jnp.clip(idx, 0, s - 1), axis=-1), fill)
+
+
+def _banded_alphas(blank_lp, label_lp, starts, logit_lengths):
+    """alpha (B, T, S) over the banded lattice (lps pre-masked)."""
+    b, t_max, s = blank_lp.shape
+    # row 0 (start[0] == 0): alpha[0, j] = sum_{k<j} label_lp[0, k]
+    alpha0 = jnp.pad(jnp.cumsum(label_lp[:, 0, :-1], axis=-1), ((0, 0), (1, 0)))
+    alpha0 = jnp.where(blank_lp[:, 0] > _NEG_INF / 2, alpha0, _NEG_INF)
+
+    label_shift = jnp.pad(label_lp[:, :, :-1], ((0, 0), (0, 0), (1, 0)), constant_values=_NEG_INF)
+    d = starts[:, 1:] - starts[:, :-1]  # (B, T-1) band shift into row t
+
+    def step(alpha_prev, inp):
+        blank_prev, coeff, d_t, valid_t, t = inp
+        base = _shift_rows(alpha_prev + blank_prev, d_t, _NEG_INF)
+        alpha_t = _semiring_scan(base, coeff)
+        alpha_t = jnp.where(valid_t, alpha_t, _NEG_INF)
+        alpha_t = jnp.where((t < logit_lengths)[:, None], alpha_t, alpha_prev)
+        return alpha_t, alpha_t
+
+    ts = jnp.arange(1, t_max)
+    _, rest = jax.lax.scan(
+        step,
+        alpha0,
+        (
+            jnp.moveaxis(blank_lp[:, :-1], 1, 0),
+            jnp.moveaxis(label_shift[:, 1:], 1, 0),
+            jnp.moveaxis(d, 1, 0),
+            jnp.moveaxis(blank_lp[:, 1:] > _NEG_INF / 2, 1, 0),
+            ts,
+        ),
+    )
+    return jnp.concatenate([alpha0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
+
+
+def _banded_betas(blank_lp, label_lp, starts, logit_lengths, target_lengths):
+    """beta (B, T, S); beta[:, 0, 0] = log-likelihood (start[0] == 0)."""
+    b, t_max, s = blank_lp.shape
+    t_last = logit_lengths - 1
+    j_idx = jnp.arange(s)[None, :]
+
+    start_last = jnp.take_along_axis(starts, t_last[:, None], axis=1)  # (B, 1)
+    j_u = (target_lengths[:, None] - start_last)  # (B, 1) final-cell slot
+    blank_row_last = jnp.take_along_axis(
+        blank_lp, t_last[:, None, None].repeat(s, axis=2), axis=1
+    )[:, 0, :]
+    label_row_last = jnp.take_along_axis(
+        label_lp, t_last[:, None, None].repeat(s, axis=2), axis=1
+    )[:, 0, :]
+    final_blank = jnp.take_along_axis(blank_row_last, jnp.clip(j_u, 0, s - 1), axis=1)  # (B, 1)
+    # suffix sums of label over [j, j_u): only in-band label moves (masked rows are -inf -> 0 here)
+    label_row0 = jnp.where(label_row_last > _NEG_INF / 2, label_row_last, 0.0)
+    suffix = jnp.flip(jnp.cumsum(jnp.flip(label_row0, -1), -1), -1)
+    beta_last = final_blank + suffix
+    beta_last = jnp.where((j_idx <= j_u) & (blank_row_last > _NEG_INF / 2), beta_last, _NEG_INF)
+
+    d = starts[:, 1:] - starts[:, :-1]  # d[t] = start[t+1] - start[t]
+
+    def step(beta_next, inp):
+        blank_t, label_t, d_t, t = inp
+        base = _shift_rows(beta_next, -d_t, _NEG_INF) + blank_t
+        # reverse scan: y[j] = logaddexp(base[j], y[j+1] + label_t[j])
+        y_r = _semiring_scan(jnp.flip(base, -1), jnp.flip(label_t, -1))
+        beta_t = jnp.flip(y_r, -1)
+        beta_t = jnp.where(blank_t > _NEG_INF / 2, beta_t, _NEG_INF)
+        active = (t < t_last)[:, None]
+        beta_t = jnp.where(active, beta_t, beta_next)
+        return beta_t, beta_t
+
+    ts = jnp.arange(t_max - 2, -1, -1)
+    _, rest = jax.lax.scan(
+        step,
+        beta_last,
+        (
+            jnp.moveaxis(blank_lp[:, :-1][:, ::-1], 1, 0),
+            jnp.moveaxis(label_lp[:, :-1][:, ::-1], 1, 0),
+            jnp.moveaxis(d[:, ::-1], 1, 0),
+            ts,
+        ),
+    )
+    return jnp.concatenate([jnp.moveaxis(rest, 0, 1)[:, ::-1], beta_last[:, None]], axis=1)
+
+
+def _as_logprobs_f32(logits, fused_log_softmax):
+    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
+    return jax.nn.log_softmax(x, axis=-1) if fused_log_softmax else x
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def rnnt_loss_pruned_core(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    ranges: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    blank: int,
+    clamp: float,
+    fused_log_softmax: bool = True,
+) -> jnp.ndarray:
+    """Per-sequence pruned transducer costs (B,), analytic custom VJP.
+
+    logits: (B, T, s, V) banded joiner output, where slot (t, j) scores the
+    lattice cell (t, ranges[b, t, j]); ranges as produced by
+    :func:`get_rnnt_prune_ranges` (or any set satisfying its contract).
+    """
+    costs, *_ = _pruned_fwd_parts(logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax)
+    return costs
+
+
+def _pruned_fwd_parts(logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax):
+    log_probs = _as_logprobs_f32(logits, fused_log_softmax)
+    blank_lp, label_lp, tgt_at, cell_ok, label_ok = _masked_band_lps(
+        log_probs, targets, ranges, logit_lengths, target_lengths, blank
+    )
+    starts = ranges[:, :, 0]
+    alphas = _banded_alphas(blank_lp, label_lp, starts, logit_lengths)
+    betas = _banded_betas(blank_lp, label_lp, starts, logit_lengths, target_lengths)
+    # the DP origin (0, 0) must be in band; an infeasible range set (band too
+    # narrow to climb from 0 to U_b in T_b frames) fails loudly with +inf
+    costs = jnp.where(starts[:, 0] == 0, -betas[:, 0, 0], jnp.inf)
+    return costs, blank_lp, label_lp, tgt_at, cell_ok, label_ok, alphas, betas
+
+
+def _pruned_vjp_fwd(logits, targets, ranges, logit_lengths, target_lengths, blank, clamp, fused_log_softmax):
+    costs, *_, alphas, betas = _pruned_fwd_parts(
+        logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax
+    )
+    return costs, (logits, targets, ranges, logit_lengths, target_lengths, alphas, betas)
+
+
+def _pruned_vjp_bwd(blank, clamp, fused_log_softmax, res, g):
+    logits, targets, ranges, logit_lengths, target_lengths, alphas, betas = res
+    b, t_max, s, v = logits.shape
+    ll = betas[:, 0, 0][:, None, None]
+
+    log_probs = _as_logprobs_f32(logits, fused_log_softmax)
+    blank_lp, label_lp, tgt_at, cell_ok, label_ok = _masked_band_lps(
+        log_probs, targets, ranges, logit_lengths, target_lengths, blank
+    )
+    starts = ranges[:, :, 0]
+    t_idx = jnp.arange(t_max)[None, :, None]
+
+    # blank move (t, j) -> (t+1, j - d[t]); terminates the lattice at the final cell
+    d = jnp.pad(starts[:, 1:] - starts[:, :-1], ((0, 0), (0, 1)))  # (B, T)
+    beta_next = jnp.concatenate([betas[:, 1:], jnp.full_like(betas[:, :1], _NEG_INF)], axis=1)
+    beta_shifted = _shift_rows(beta_next, -d, _NEG_INF)
+    is_final = (t_idx == (logit_lengths - 1)[:, None, None]) & (ranges == target_lengths[:, None, None])
+    blank_move_valid = t_idx < (logit_lengths - 1)[:, None, None]
+    beta_after_blank = jnp.where(is_final, 0.0, jnp.where(blank_move_valid, beta_shifted, _NEG_INF))
+    g_blank = -jnp.exp(alphas + blank_lp + beta_after_blank - ll)
+    g_blank = jnp.where(cell_ok, g_blank, 0.0)
+
+    # label move (t, j) -> (t, j+1): the last band slot has no in-band successor
+    beta_jp1 = jnp.concatenate([betas[:, :, 1:], jnp.full_like(betas[:, :, :1], _NEG_INF)], axis=2)
+    g_label = -jnp.exp(alphas + label_lp + beta_jp1 - ll)
+    g_label = jnp.where(label_ok, g_label, 0.0)
+
+    # fused scatter back to (B, T, s, V): blank column + one-hot of the banded target
+    acc_dtype = jnp.promote_types(logits.dtype, jnp.float32)
+    v_idx = jnp.arange(v)
+    blank_part = jnp.where(v_idx[None, None, None, :] == blank, g_blank[..., None], 0.0)
+    label_onehot = jax.nn.one_hot(tgt_at, v, dtype=acc_dtype)  # (B, T, s, V)
+    grad_lp = blank_part + g_label[..., None] * label_onehot
+
+    if fused_log_softmax:
+        sum_g = g_blank + g_label
+        grad_logits = grad_lp - jnp.exp(log_probs) * sum_g[..., None]
+    else:
+        grad_logits = grad_lp
+
+    if clamp > 0:
+        grad_logits = jnp.clip(grad_logits, -clamp, clamp)
+
+    grad_logits = grad_logits * g[:, None, None, None]
+    return (grad_logits.astype(logits.dtype), None, None, None, None)
+
+
+rnnt_loss_pruned_core.defvjp(_pruned_vjp_fwd, _pruned_vjp_bwd)

@@ -48,12 +48,38 @@ class Hypothesis(NamedTuple):
     pred_out: jnp.ndarray  # (K, 1, D) predictor output for the last token
     pred_state: Any  # pytree with leading axis K
     sig: jnp.ndarray  # (K,) uint32 rolling token-sequence fingerprint
+    sig2: jnp.ndarray  # (K,) uint32 second independent fingerprint (~2^-64 jointly)
 
 
-# multiplier of the rolling fingerprint (FNV-1a prime): sig' = sig*P + tok+1
-# (numpy scalar, NOT jnp: a module-level jnp constant would initialize the
+class _BSet(NamedTuple):
+    """Frame-local blank-merged set: 16-byte slots, no tokens/states.
+
+    A b hypothesis is always (some a hypothesis) + blank, and the predictor
+    state of a token sequence is a pure function of the sequence — so b only
+    needs (count, score, fingerprints) for merging/ranking plus ``ptr``, an
+    index into the per-frame arena of a-set snapshots, from which tokens and
+    predictor state of the frame's winners are gathered ONCE at frame end.
+    The r3 design pooled full predictor state (~12 KB/slot) across
+    ``beam*(step_max_tokens+1)`` slots on every inner iteration; that state
+    traffic, scaling with streams x capacity, was the S=512 knee
+    (docs/performance.md).
+    """
+
+    counts: jnp.ndarray  # (C,) int32, -1 = empty
+    scores: jnp.ndarray  # (C,) float raw log prob
+    sig: jnp.ndarray  # (C,) uint32
+    sig2: jnp.ndarray  # (C,) uint32
+    ptr: jnp.ndarray  # (C,) int32 flat index (iteration * K + slot) into the arena
+
+
+# multipliers of the two rolling fingerprints (FNV-1a prime / a second odd
+# constant): sig' = sig*P + tok+1.  Two independent uint32 hashes push the
+# same-length collision chance to ~2^-64 (uint64 is unavailable without
+# enabling x64 globally).
+# (numpy scalars, NOT jnp: a module-level jnp constant would initialize the
 # XLA backend at import time and break jax.distributed.initialize ordering)
 _SIG_PRIME = np.uint32(0x01000193)
+_SIG2_PRIME = np.uint32(0x85EBCA6B)
 
 
 def _take_beam(tree, idx):
@@ -114,20 +140,25 @@ class RNNTBeamSearch:
         pred_out = expand(pred_out)
         state = jax.tree.map(expand, state)
         sig = jnp.zeros((k,), jnp.uint32)
-        return Hypothesis(tokens, counts, scores, pred_out, state, sig)
+        return Hypothesis(tokens, counts, scores, pred_out, state, sig, sig)
 
-    def _merge_blank_into_b(self, b: Hypothesis, a: Hypothesis, blank_scores: jnp.ndarray) -> Hypothesis:
-        """logaddexp-merge a's blank extensions into b; insert new sequences.
+    def _merge_blank_into_b(self, b: _BSet, a: Hypothesis, blank_scores: jnp.ndarray,
+                            iter_idx: jnp.ndarray) -> _BSet:
+        """logaddexp-merge a's blank extensions into the slim b set.
 
-        Sequence identity is (count, rolling uint32 fingerprint) instead of
-        an elementwise (Ka, Kb, Lmax) token comparison — O(Ka*Kb) work per
+        Sequence identity is (count, two rolling uint32 fingerprints) instead
+        of an elementwise (Ka, Kb, Lmax) token comparison — O(Ka*Kb) work per
         inner step rather than O(Ka*Kb*Lmax); a false merge needs a same-
-        length fingerprint collision (~2^-32 per candidate pair).
+        length double collision (~2^-64 per candidate pair).  New sequences
+        enter with ``ptr = iter_idx * Ka + slot`` pointing at the a-set arena
+        snapshot; merged entries keep their ptr (same token sequence ==> same
+        predictor state, so either source is valid).
         """
-        kb = b.counts.shape[0]
+        ka = a.counts.shape[0]
         matches = (
             (a.counts[:, None] == b.counts[None, :])
             & (a.sig[:, None] == b.sig[None, :])
+            & (a.sig2[:, None] == b.sig2[None, :])
             & (a.counts[:, None] >= 0) & (b.counts[None, :] >= 0)
         )  # (Ka, Kb)
         contrib = jnp.where(matches, blank_scores[:, None], _NEG_INF)
@@ -137,21 +168,19 @@ class RNNTBeamSearch:
         cand_scores = jnp.where(unmatched, blank_scores, _NEG_INF)
 
         pool_scores = jnp.concatenate([merged_scores, cand_scores])
-        pool_tokens = jnp.concatenate([b.tokens, a.tokens])
         pool_counts = jnp.concatenate([b.counts, a.counts])
-        pool_pred_out = jnp.concatenate([b.pred_out, a.pred_out])
-        pool_state = jax.tree.map(lambda x, y: jnp.concatenate([x, y]), b.pred_state, a.pred_state)
         pool_sig = jnp.concatenate([b.sig, a.sig])
+        pool_sig2 = jnp.concatenate([b.sig2, a.sig2])
+        pool_ptr = jnp.concatenate([b.ptr, iter_idx * ka + jnp.arange(ka, dtype=jnp.int32)])
 
-        top_scores, top_idx = jax.lax.top_k(pool_scores, kb)
+        top_scores, top_idx = jax.lax.top_k(pool_scores, b.counts.shape[0])
         new_counts = jnp.where(top_scores > _NEG_INF / 2, jnp.take(pool_counts, top_idx), -1)
-        return Hypothesis(
-            jnp.take(pool_tokens, top_idx, axis=0),
+        return _BSet(
             new_counts,
             top_scores,
-            jnp.take(pool_pred_out, top_idx, axis=0),
-            _take_beam(pool_state, top_idx),
             jnp.take(pool_sig, top_idx),
+            jnp.take(pool_sig2, top_idx),
+            jnp.take(pool_ptr, top_idx),
         )
 
     def _expand_a(self, a: Hypothesis, probs: jnp.ndarray, b_kth_score, beam_width: int) -> Hypothesis:
@@ -169,26 +198,22 @@ class RNNTBeamSearch:
         new_tokens = base_tokens.at[jnp.arange(beam_width), pos].set(token_idx.astype(jnp.int32))
         new_counts = jnp.where(keep, base_counts + 1, -1)
         new_scores = jnp.where(keep, flat_scores, _NEG_INF)
-        new_sig = (
-            jnp.take(a.sig, hypo_idx) * _SIG_PRIME
-            + token_idx.astype(jnp.uint32) + jnp.uint32(1)
-        )
+        tok_u32 = token_idx.astype(jnp.uint32) + jnp.uint32(1)
+        new_sig = jnp.take(a.sig, hypo_idx) * _SIG_PRIME + tok_u32
+        new_sig2 = jnp.take(a.sig2, hypo_idx) * _SIG2_PRIME + tok_u32
 
         base_state = _take_beam(a.pred_state, hypo_idx)
         pred_out, new_state = self._predict(token_idx[:, None].astype(jnp.int32), base_state)
-        return Hypothesis(new_tokens, new_counts, new_scores, pred_out, new_state, new_sig)
+        return Hypothesis(new_tokens, new_counts, new_scores, pred_out, new_state, new_sig, new_sig2)
 
-    def _empty_b(self, capacity: int, template: Hypothesis) -> Hypothesis:
-        def grow(x):
-            return jnp.zeros((capacity,) + x.shape[1:], x.dtype)
-
-        return Hypothesis(
-            jnp.full((capacity, template.tokens.shape[1]), -1, template.tokens.dtype),
-            jnp.full((capacity,), -1, template.counts.dtype),
-            jnp.full((capacity,), _NEG_INF, template.scores.dtype),
-            grow(template.pred_out),
-            jax.tree.map(grow, template.pred_state),
+    @staticmethod
+    def _empty_bset(capacity: int) -> _BSet:
+        return _BSet(
+            jnp.full((capacity,), -1, jnp.int32),
+            jnp.full((capacity,), _NEG_INF),
             jnp.zeros((capacity,), jnp.uint32),
+            jnp.zeros((capacity,), jnp.uint32),
+            jnp.zeros((capacity,), jnp.int32),
         )
 
     def _search(
@@ -206,43 +231,70 @@ class RNNTBeamSearch:
         """
 
         b_capacity = beam_width * (self.step_max_tokens + 1)
+        n_iters = self.step_max_tokens + 1
 
         def _step(b: Hypothesis, enc_t: jnp.ndarray) -> Hypothesis:
             a = b
-            b = self._empty_b(b_capacity, a)
+            bs = self._empty_bset(b_capacity)
+            # Arena of per-iteration a-set snapshots.  The b set is slim
+            # (scores/counts/fingerprints/ptr only); tokens and predictor
+            # state of the frame's winning K hypotheses are gathered from
+            # here ONCE at frame end instead of pooling ~12 KB/slot of LSTM
+            # state across b_capacity slots on every inner iteration (the r3
+            # design's dominant memory traffic and its S=512 knee).
+            arena_tokens = jnp.zeros((n_iters,) + a.tokens.shape, a.tokens.dtype)
+            arena_out = jnp.zeros((n_iters,) + a.pred_out.shape, a.pred_out.dtype)
+            arena_state = jax.tree.map(
+                lambda x: jnp.zeros((n_iters,) + x.shape, x.dtype), a.pred_state
+            )
 
             def inner_cond(carry):
-                i, a, b = carry
+                i, a, bs, at, ao, ast = carry
                 # reference loops while the a set is non-empty (with the
                 # step_max_tokens safety bound); an empty a contributes only
                 # no-op merges, so early exit is result-identical
                 return (i <= self.step_max_tokens) & jnp.any(a.counts >= 0)
 
             def inner(carry):
-                i, a, b = carry
+                i, a, bs, at, ao, ast = carry
+                at = jax.lax.dynamic_update_index_in_dim(at, a.tokens, i, 0)
+                ao = jax.lax.dynamic_update_index_in_dim(ao, a.pred_out, i, 0)
+                ast = jax.tree.map(
+                    lambda arr, x: jax.lax.dynamic_update_index_in_dim(arr, x, i, 0),
+                    ast, a.pred_state,
+                )
                 probs = self._join(enc_t[None], a.pred_out)  # (K, V)
                 blank_scores = jnp.where(a.counts >= 0, a.scores + probs[:, -1], _NEG_INF)
-                b = self._merge_blank_into_b(b, a, blank_scores)
+                bs = self._merge_blank_into_b(bs, a, blank_scores, i)
                 # reference: candidates must beat the beam_width-th best RAW
                 # b score; -inf while fewer than beam_width b hypos exist
-                n_alive_b = jnp.sum(b.counts >= 0)
-                top_b, _ = jax.lax.top_k(b.scores, beam_width)
+                n_alive_b = jnp.sum(bs.counts >= 0)
+                top_b, _ = jax.lax.top_k(bs.scores, beam_width)
                 kth = jnp.where(n_alive_b >= beam_width, top_b[-1], _NEG_INF)
                 a = self._expand_a(a, probs, kth, beam_width)
-                return i + 1, a, b
+                return i + 1, a, bs, at, ao, ast
 
-            _, a, b = jax.lax.while_loop(inner_cond, inner, (jnp.int32(0), a, b))
+            _, a, bs, at, ao, ast = jax.lax.while_loop(
+                inner_cond, inner,
+                (jnp.int32(0), a, bs, arena_tokens, arena_out, arena_state),
+            )
             # rank by length-normalized score: tokens include the init blank in
             # the reference, so len(tokens)+1 == emitted + 2
-            norm = jnp.where(b.counts >= 0, b.scores / (b.counts + 2.0), _NEG_INF)
+            norm = jnp.where(bs.counts >= 0, bs.scores / (bs.counts + 2.0), _NEG_INF)
             _, order = jax.lax.top_k(norm, beam_width)
+            ptr = jnp.take(bs.ptr, order)
+
+            def from_arena(arr):
+                return jnp.take(arr.reshape((-1,) + arr.shape[2:]), ptr, axis=0)
+
             return Hypothesis(
-                jnp.take(b.tokens, order, axis=0),
-                jnp.take(b.counts, order),
-                jnp.take(b.scores, order),
-                jnp.take(b.pred_out, order, axis=0),
-                _take_beam(b.pred_state, order),
-                jnp.take(b.sig, order),
+                from_arena(at),
+                jnp.take(bs.counts, order),
+                jnp.take(bs.scores, order),
+                from_arena(ao),
+                jax.tree.map(from_arena, ast),
+                jnp.take(bs.sig, order),
+                jnp.take(bs.sig2, order),
             )
 
         if n_valid is None:

@@ -79,26 +79,42 @@ def _simple_lps(am, lm, targets, blank):
     return blank_lp, label_lp
 
 
+def _cell_posteriors(alphas, betas, logit_lengths, target_lengths):
+    """P(path passes through (t, u)) from one alpha/beta pass, masked."""
+    ll = betas[:, 0, 0][:, None, None]
+    t_idx = jnp.arange(alphas.shape[1])[None, :, None]
+    u_idx = jnp.arange(alphas.shape[2])[None, None, :]
+    valid = (t_idx < logit_lengths[:, None, None]) & (u_idx <= target_lengths[:, None, None])
+    return jnp.where(valid, jnp.exp(alphas + betas - ll), 0.0)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=())
 def _lps_loss(blank_lp, label_lp, logit_lengths, target_lengths):
-    """Transducer costs (B,) from per-cell log-probs, analytic VJP."""
+    """(costs (B,), posteriors (B,T,U+1)) from per-cell log-probs, analytic VJP.
+
+    The posteriors output reuses the forward's alpha/beta pass (no second DP)
+    and is non-differentiable — its cotangent is ignored in the VJP, so it
+    behaves as stop-gradiented pruning data.
+    """
     from .rnnt import rnnt_loss_from_logprobs
 
-    costs, _, _ = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
-    return costs
+    costs, alphas, betas = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
+    return costs, _cell_posteriors(alphas, betas, logit_lengths, target_lengths)
 
 
 def _lps_loss_fwd(blank_lp, label_lp, logit_lengths, target_lengths):
     from .rnnt import rnnt_loss_from_logprobs
 
     costs, alphas, betas = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
-    return costs, (blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
+    post = _cell_posteriors(alphas, betas, logit_lengths, target_lengths)
+    return (costs, post), (blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
 
 
 def _lps_loss_bwd(res, g):
     blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths = res
+    g_costs, _ = g  # posterior output is pruning data, not a gradient path
     g_blank, g_label = occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
-    return (g_blank * g[:, None, None], g_label * g[:, None, None], None, None)
+    return (g_blank * g_costs[:, None, None], g_label * g_costs[:, None, None], None, None)
 
 
 _lps_loss.defvjp(_lps_loss_fwd, _lps_loss_bwd)
@@ -115,25 +131,12 @@ def rnnt_loss_simple_core(
     """Trivial-joiner transducer loss + lattice posteriors for pruning.
 
     Returns ``(costs (B,), posteriors (B, T, U+1))`` where ``posteriors`` is
-    the (stop-gradiented) probability that a path passes through each lattice
-    cell — the band-selection signal for :func:`get_rnnt_prune_ranges`.
+    the (non-differentiable) probability that a path passes through each
+    lattice cell — the band-selection signal for
+    :func:`get_rnnt_prune_ranges`; both come from ONE alpha/beta pass.
     """
     blank_lp, label_lp = _simple_lps(am, lm, targets, blank)
-    costs = _lps_loss(blank_lp, label_lp, logit_lengths, target_lengths)
-
-    # posteriors under stop_gradient: ranges are data, not a gradient path
-    from .rnnt import rnnt_alphas, rnnt_betas
-
-    sg = jax.lax.stop_gradient
-    b_lp, l_lp = sg(blank_lp), sg(label_lp)
-    alphas = rnnt_alphas(b_lp, l_lp, logit_lengths, target_lengths)
-    betas = rnnt_betas(b_lp, l_lp, logit_lengths, target_lengths)
-    ll = betas[:, 0, 0][:, None, None]
-    t_idx = jnp.arange(b_lp.shape[1])[None, :, None]
-    u_idx = jnp.arange(b_lp.shape[2])[None, None, :]
-    valid = (t_idx < logit_lengths[:, None, None]) & (u_idx <= target_lengths[:, None, None])
-    post = jnp.where(valid, jnp.exp(alphas + betas - ll), 0.0)
-    return costs, post
+    return _lps_loss(blank_lp, label_lp, logit_lengths, target_lengths)
 
 
 # =========================================================================
@@ -195,17 +198,29 @@ def prune_target_encodings(target_encodings: jnp.ndarray, ranges: jnp.ndarray) -
 # =========================================================================
 # Banded exact DP + fused analytic backward
 # =========================================================================
-def _masked_band_lps(log_probs, targets, ranges, logit_lengths, target_lengths, blank):
+def _masked_band_lps(logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax):
     """Banded blank/label log-probs with validity masks applied.
 
-    log_probs: (B, T, S, V); returns blank_lp, label_lp (B, T, S) where
-    out-of-lattice cells (u > U_b or t >= T_b) are _NEG_INF.
+    logits: (B, T, S, V) in any float dtype.  Returns blank_lp, label_lp,
+    lse — all (B, T, S) float32 — where out-of-lattice cells (u > U_b or
+    t >= T_b) are _NEG_INF.  Deliberately NEVER materializes a full-band
+    f32 tensor: the log-softmax denominator is a fused f32 reduction over V
+    and blank/label are gathered from the (possibly bf16) logits before the
+    f32 cast — full-band f32 temporaries are what blow the HBM budget at
+    large batch (the whole point of pruning).
     """
-    b, t_max, s, v = log_probs.shape
-    blank_lp = log_probs[..., blank]
+    b, t_max, s, v = logits.shape
+    acc = jnp.promote_types(logits.dtype, jnp.float32)  # f32 accumulate; f64 stays f64
+    if fused_log_softmax:
+        xacc = logits.astype(acc)  # fuses into the reduction below
+        m = jax.lax.stop_gradient(jnp.max(xacc, axis=-1))
+        lse = m + jnp.log(jnp.sum(jnp.exp(xacc - m[..., None]), axis=-1))
+    else:
+        lse = jnp.zeros(logits.shape[:-1], acc)
+    blank_lp = logits[..., blank].astype(acc) - lse
     u_cnt = targets.shape[1]
     tgt_at = jax.vmap(lambda tg, r: tg[jnp.clip(r, 0, u_cnt - 1)])(targets, ranges)  # (B, T, S)
-    label_lp = jnp.take_along_axis(log_probs, tgt_at[..., None], axis=-1)[..., 0]
+    label_lp = jnp.take_along_axis(logits, tgt_at[..., None], axis=-1)[..., 0].astype(acc) - lse
 
     t_idx = jnp.arange(t_max)[None, :, None]
     t_ok = t_idx < logit_lengths[:, None, None]
@@ -214,6 +229,7 @@ def _masked_band_lps(log_probs, targets, ranges, logit_lengths, target_lengths, 
     return (
         jnp.where(cell_ok, blank_lp, _NEG_INF),
         jnp.where(label_ok, label_lp, _NEG_INF),
+        lse,
         tgt_at,
         cell_ok,
         label_ok,
@@ -309,11 +325,6 @@ def _banded_betas(blank_lp, label_lp, starts, logit_lengths, target_lengths):
     return jnp.concatenate([jnp.moveaxis(rest, 0, 1)[:, ::-1], beta_last[:, None]], axis=1)
 
 
-def _as_logprobs_f32(logits, fused_log_softmax):
-    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
-    return jax.nn.log_softmax(x, axis=-1) if fused_log_softmax else x
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def rnnt_loss_pruned_core(
     logits: jnp.ndarray,
@@ -336,9 +347,8 @@ def rnnt_loss_pruned_core(
 
 
 def _pruned_fwd_parts(logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax):
-    log_probs = _as_logprobs_f32(logits, fused_log_softmax)
-    blank_lp, label_lp, tgt_at, cell_ok, label_ok = _masked_band_lps(
-        log_probs, targets, ranges, logit_lengths, target_lengths, blank
+    blank_lp, label_lp, lse, tgt_at, cell_ok, label_ok = _masked_band_lps(
+        logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax
     )
     starts = ranges[:, :, 0]
     alphas = _banded_alphas(blank_lp, label_lp, starts, logit_lengths)
@@ -346,27 +356,31 @@ def _pruned_fwd_parts(logits, targets, ranges, logit_lengths, target_lengths, bl
     # the DP origin (0, 0) must be in band; an infeasible range set (band too
     # narrow to climb from 0 to U_b in T_b frames) fails loudly with +inf
     costs = jnp.where(starts[:, 0] == 0, -betas[:, 0, 0], jnp.inf)
-    return costs, blank_lp, label_lp, tgt_at, cell_ok, label_ok, alphas, betas
+    return costs, blank_lp, label_lp, lse, tgt_at, cell_ok, label_ok, alphas, betas
 
 
 def _pruned_vjp_fwd(logits, targets, ranges, logit_lengths, target_lengths, blank, clamp, fused_log_softmax):
-    costs, *_, alphas, betas = _pruned_fwd_parts(
+    costs, _, _, lse, *_, alphas, betas = _pruned_fwd_parts(
         logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax
     )
-    return costs, (logits, targets, ranges, logit_lengths, target_lengths, alphas, betas)
+    return costs, (logits, targets, ranges, logit_lengths, target_lengths, lse, alphas, betas)
 
 
 def _pruned_vjp_bwd(blank, clamp, fused_log_softmax, res, g):
-    logits, targets, ranges, logit_lengths, target_lengths, alphas, betas = res
+    logits, targets, ranges, logit_lengths, target_lengths, lse, alphas, betas = res
     b, t_max, s, v = logits.shape
     ll = betas[:, 0, 0][:, None, None]
 
-    log_probs = _as_logprobs_f32(logits, fused_log_softmax)
-    blank_lp, label_lp, tgt_at, cell_ok, label_ok = _masked_band_lps(
-        log_probs, targets, ranges, logit_lengths, target_lengths, blank
-    )
-    starts = ranges[:, :, 0]
+    acc = jnp.promote_types(logits.dtype, jnp.float32)
+    u_cnt = targets.shape[1]
+    tgt_at = jax.vmap(lambda tg, r: tg[jnp.clip(r, 0, u_cnt - 1)])(targets, ranges)  # (B, T, S)
+    blank_lp = logits[..., blank].astype(acc) - lse
+    label_lp = jnp.take_along_axis(logits, tgt_at[..., None], axis=-1)[..., 0].astype(acc) - lse
     t_idx = jnp.arange(t_max)[None, :, None]
+    t_ok = t_idx < logit_lengths[:, None, None]
+    cell_ok = t_ok & (ranges <= target_lengths[:, None, None])
+    label_ok = t_ok & (ranges < target_lengths[:, None, None])
+    starts = ranges[:, :, 0]
 
     # blank move (t, j) -> (t+1, j - d[t]); terminates the lattice at the final cell
     d = jnp.pad(starts[:, 1:] - starts[:, :-1], ((0, 0), (0, 1)))  # (B, T)
@@ -375,24 +389,28 @@ def _pruned_vjp_bwd(blank, clamp, fused_log_softmax, res, g):
     is_final = (t_idx == (logit_lengths - 1)[:, None, None]) & (ranges == target_lengths[:, None, None])
     blank_move_valid = t_idx < (logit_lengths - 1)[:, None, None]
     beta_after_blank = jnp.where(is_final, 0.0, jnp.where(blank_move_valid, beta_shifted, _NEG_INF))
-    g_blank = -jnp.exp(alphas + blank_lp + beta_after_blank - ll)
+    g_blank = -jnp.exp(alphas + jnp.where(cell_ok, blank_lp, _NEG_INF) + beta_after_blank - ll)
     g_blank = jnp.where(cell_ok, g_blank, 0.0)
 
     # label move (t, j) -> (t, j+1): the last band slot has no in-band successor
     beta_jp1 = jnp.concatenate([betas[:, :, 1:], jnp.full_like(betas[:, :, :1], _NEG_INF)], axis=2)
-    g_label = -jnp.exp(alphas + label_lp + beta_jp1 - ll)
+    g_label = -jnp.exp(alphas + jnp.where(label_ok, label_lp, _NEG_INF) + beta_jp1 - ll)
     g_label = jnp.where(label_ok, g_label, 0.0)
 
-    # fused scatter back to (B, T, s, V): blank column + one-hot of the banded target
-    acc_dtype = jnp.promote_types(logits.dtype, jnp.float32)
-    v_idx = jnp.arange(v)
-    blank_part = jnp.where(v_idx[None, None, None, :] == blank, g_blank[..., None], 0.0)
-    label_onehot = jax.nn.one_hot(tgt_at, v, dtype=acc_dtype)  # (B, T, s, V)
-    grad_lp = blank_part + g_label[..., None] * label_onehot
+    # Scatter back to (B, T, s, V) as ONE fused elementwise expression over
+    # the band lattice: comparison masks instead of one_hot arrays, softmax
+    # recomputed from (logits, lse) — the backward reads the (bf16) logits
+    # once and writes the gradient once, with no full-band f32 temporary
+    # (one_hot/log_probs materialization is what OOMed B=64 on a v5e).
+    v_idx = jnp.arange(v)[None, None, None, :]
+    grad_lp = jnp.where(v_idx == blank, g_blank[..., None], 0.0) + jnp.where(
+        v_idx == tgt_at[..., None], g_label[..., None], 0.0
+    )
 
     if fused_log_softmax:
         sum_g = g_blank + g_label
-        grad_logits = grad_lp - jnp.exp(log_probs) * sum_g[..., None]
+        softmax = jnp.exp(logits.astype(acc) - lse[..., None])
+        grad_logits = grad_lp - softmax * sum_g[..., None]
     else:
         grad_logits = grad_lp
 

@@ -415,13 +415,132 @@ def bench_rnnt_train(sink, dtype="f32", batch=8):
     }, sink)
 
 
+def bench_rnnt_train_pruned(sink, dtype="bf16", batch=64, band=16):
+    """Emformer-RNNT train step with the pruned transducer loss.
+
+    Same model/shapes as :func:`bench_rnnt_train` plus two simple-head
+    projections (1024 -> V each), but the joiner runs only on a ``band``-wide
+    slice of target positions per frame (audio_tpu.ops.rnnt_pruned,
+    arXiv:2206.13236): peak lattice HBM drops from (B, T', U+1, V) to
+    (B, T', band, V) — (U+1)/band ~ 4x at U=64, band=16 — which is what
+    breaks the full-lattice loss's B=32 single-chip ceiling
+    (docs/performance.md).  Loss = 0.5 * simple + pruned (the k2 recipe).
+    """
+    import optax
+
+    import audio_tpu.functional as F
+    from audio_tpu.utils import cast_floating
+
+    V = 4097
+    B, T, U = batch, 512, 64
+    RC = 4
+    model = _rnnt_base(V)
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.standard_normal((B, T + RC, 80)).astype(np.float32))
+    feat_lens = jnp.full((B,), T, jnp.int32)
+    targets = jnp.asarray(rng.integers(1, V - 1, (B, U)).astype(np.int32))
+    tgt_lens = jnp.full((B,), U, jnp.int32)
+
+    model_params = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), feats[:1], feat_lens[:1], targets[:1, :1],
+        jnp.ones((1,), jnp.int32), deterministic=True,
+    )["params"]
+    D = 1024  # encoding_dim == predictor output_dim
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    params = {
+        "model": model_params,
+        "am": jax.random.normal(k1, (D, V), jnp.float32) * (D ** -0.5),
+        "lm": jax.random.normal(k2, (D, V), jnp.float32) * (D ** -0.5),
+    }
+    tx = optax.adamw(1e-3, weight_decay=1e-6)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, key):
+        tgt_in = jnp.pad(targets, ((0, 0), (1, 0)))
+        f = feats
+        if dtype == "bf16":
+            params = cast_floating(params, jnp.bfloat16)
+            f = feats.astype(jnp.bfloat16)
+        mp = {"params": params["model"]}
+        enc, src_lens = model.apply(
+            mp, f, feat_lens, deterministic=False, rngs={"dropout": key},
+            method=model.transcribe,
+        )
+        pred, _, _ = model.apply(
+            mp, tgt_in, tgt_lens + 1, None, deterministic=False,
+            rngs={"dropout": key}, method=model.predict,
+        )
+        simple, post = F.rnnt_loss_simple(
+            enc @ params["am"], pred @ params["lm"], targets, src_lens, tgt_lens,
+            blank=0, reduction="mean",
+        )
+        ranges = F.get_rnnt_prune_ranges(post, src_lens, tgt_lens, band)
+        pred_band = F.prune_target_encodings(pred, ranges)  # (B, T', band, D)
+        bt = enc.shape[0] * enc.shape[1]
+        ones = jnp.ones((bt,), jnp.int32)
+        logits, _, _ = model.apply(
+            mp, enc.reshape(bt, 1, D), ones, pred_band.reshape(bt, band, D), ones,
+            method=model.join,
+        )
+        logits = logits.reshape(enc.shape[0], enc.shape[1], band, V)
+        pruned = F.rnnt_loss_pruned(logits, targets, ranges, src_lens, tgt_lens,
+                                    blank=0, reduction="mean")
+        return 0.5 * simple + pruned
+
+    def train_step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    single = jax.jit(train_step)
+    key = jax.random.PRNGKey(3)
+    fl = flops_of(single, params, opt_state, key)
+
+    K = 4
+
+    @jax.jit
+    def chain(params, opt_state, key):
+        def body(carry, _):
+            p, o, k = carry
+            k, sub = jax.random.split(k)
+            p, o, loss = train_step(p, o, sub)
+            return (p, o, k), loss
+        (_, _, _), losses = jax.lax.scan(body, (params, opt_state, key), None, length=K)
+        return losses
+
+    losses = jax.block_until_ready(jax.jit(chain)(params, opt_state, key))
+    assert bool(jnp.isfinite(losses).all()), losses
+    w = timed(chain, lambda i: (params, opt_state, jax.random.PRNGKey(10 + i))) / K
+    mfu = fl / w / peak_flops() if fl else None
+    suffix = ("_bf16" if dtype == "bf16" else "") + f"_b{B}"
+    emit({
+        "metric": f"emformer_rnnt_train_pruned_tokens_per_s{suffix}",
+        "value": round(B * U / w, 1),
+        "unit": f"target tokens/s (B={B}, T=512 mel, U=64, V=4097, band={band}, "
+                "pruned loss = 0.5*simple + banded-exact, adamw"
+                + (", bf16 compute / f32 masters)" if dtype == "bf16" else ")"),
+        "detail": {
+            "step_ms": round(w * 1e3, 1),
+            "audio_seconds_per_second": round(B * T * 0.01 / w, 1),
+            "flops_per_step": fl,
+            "tflops_sustained": round(fl / w / 1e12, 1) if fl else None,
+            "mfu": round(mfu, 4) if mfu else None,
+            "band": band,
+            "loss_finite": True,
+            "device": str(jax.devices()[0]),
+        },
+    }, sink)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
+    ap.add_argument("--band", type=int, default=16)
     ap.add_argument("--only", default=None,
                     choices=[None, "wav2vec2", "streaming", "streaming_batch",
                              "train", "wav2vec2_bf16", "train_bf16",
-                             "train_bf16_b32"])
+                             "train_bf16_b32", "train_pruned_bf16_b64",
+                             "train_pruned_bf16_b128", "train_pruned_bf16_b32"])
     args = ap.parse_args()
     sink = []
     print(json.dumps({"device": str(jax.devices()[0]),
@@ -441,6 +560,12 @@ def main():
         bench_rnnt_train(sink, dtype="bf16")
     if args.only in (None, "train_bf16_b32"):
         bench_rnnt_train(sink, dtype="bf16", batch=32)
+    if args.only == "train_pruned_bf16_b32":
+        bench_rnnt_train_pruned(sink, dtype="bf16", batch=32, band=args.band)
+    if args.only in (None, "train_pruned_bf16_b64"):
+        bench_rnnt_train_pruned(sink, dtype="bf16", batch=64, band=args.band)
+    if args.only in (None, "train_pruned_bf16_b128"):
+        bench_rnnt_train_pruned(sink, dtype="bf16", batch=128, band=args.band)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(sink, f, indent=1)

@@ -172,6 +172,14 @@ def main():
     p.add_argument("--tiny", action="store_true", help="2-layer debug model")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward with f32 master weights")
+    p.add_argument("--pruned-loss", action="store_true",
+                   help="pruned transducer loss (0.5*simple + banded-exact, "
+                        "arXiv:2206.13236): the joiner runs only on a "
+                        "--prune-band-wide slice of target positions per "
+                        "frame, so the lattice never materializes at (U+1) "
+                        "width — this is what unlocks batch >= 64 on one chip")
+    p.add_argument("--prune-band", type=int, default=16,
+                   help="band width s; must satisfy (s-1)*(T'-1) >= U-s+1")
     p.add_argument("--synthetic", action="store_true", help="random data, no dataset needed")
     p.add_argument("--model-type", default="librispeech",
                    choices=("librispeech", "tedlium3", "mustc"),
@@ -228,6 +236,16 @@ def main():
     params = model.init(
         jax.random.PRNGKey(0), feats0, fl0, tgt_in0, jnp.asarray(tl0) + 1, deterministic=True
     )["params"]
+    if args.pruned_loss:
+        # simple-head projections live next to the model params so optax /
+        # orbax / bf16 casting treat them uniformly
+        enc_dim = model.transcriber.output_dim
+        hk1, hk2 = jax.random.split(jax.random.PRNGKey(2))
+        params = {
+            "model": params,
+            "simple_am": jax.random.normal(hk1, (enc_dim, num_symbols), jnp.float32) * enc_dim ** -0.5,
+            "simple_lm": jax.random.normal(hk2, (enc_dim, num_symbols), jnp.float32) * enc_dim ** -0.5,
+        }
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params/1e6:.2f}M")
 
@@ -254,6 +272,37 @@ def main():
             params = cast_floating(params, jnp.bfloat16)
             feats = feats.astype(jnp.bfloat16)
         tgt_in = jnp.pad(targets, ((0, 0), (1, 0)), constant_values=BLANK_FIRST_TOKEN)
+        if args.pruned_loss:
+            mp = {"params": params["model"]}
+            band = args.prune_band
+            enc, src_lens = model.apply(
+                mp, feats, feat_lens, deterministic=False, rngs={"dropout": key},
+                method=model.transcribe,
+            )
+            pred, _, _ = model.apply(
+                mp, tgt_in, target_lengths + 1, None, deterministic=False,
+                rngs={"dropout": key}, method=model.predict,
+            )
+            simple, post = F.rnnt_loss_simple(
+                enc @ params["simple_am"], pred @ params["simple_lm"],
+                targets, src_lens, target_lengths, blank=BLANK_FIRST_TOKEN,
+                reduction="mean",
+            )
+            ranges = F.get_rnnt_prune_ranges(post, src_lens, target_lengths, band)
+            pred_band = F.prune_target_encodings(pred, ranges)
+            bt = enc.shape[0] * enc.shape[1]
+            ones = jnp.ones((bt,), jnp.int32)
+            logits, _, _ = model.apply(
+                mp, enc.reshape(bt, 1, enc.shape[-1]), ones,
+                pred_band.reshape(bt, band, pred_band.shape[-1]), ones,
+                method=model.join,
+            )
+            logits = logits.reshape(enc.shape[0], enc.shape[1], band, -1)
+            pruned = F.rnnt_loss_pruned(
+                logits, targets, ranges, src_lens, target_lengths,
+                blank=BLANK_FIRST_TOKEN, reduction="mean",
+            )
+            return 0.5 * simple + pruned
         logits, src_lens, _, _ = model.apply(
             {"params": params}, feats, feat_lens, tgt_in, target_lengths + 1,
             deterministic=False, rngs={"dropout": key},

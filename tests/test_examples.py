@@ -42,6 +42,16 @@ def test_emformer_rnnt_recipe_bf16():
 
 
 @pytest.mark.slow
+def test_emformer_rnnt_recipe_pruned_loss():
+    """Pruned transducer loss path (0.5*simple + banded-exact, --pruned-loss)."""
+    _run(
+        f"{_REPO}/examples/asr/emformer_rnnt/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--bf16", "--pruned-loss", "--prune-band", "4"],
+    )
+
+
+@pytest.mark.slow
 def test_hubert_recipes(tmp_path):
     _run(
         f"{_REPO}/examples/hubert/preprocess.py",

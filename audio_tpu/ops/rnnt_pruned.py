@@ -191,8 +191,17 @@ def get_rnnt_prune_ranges(
 
 
 def prune_target_encodings(target_encodings: jnp.ndarray, ranges: jnp.ndarray) -> jnp.ndarray:
-    """Gather predictor outputs into the band: (B, U+1, D), (B, T, s) -> (B, T, s, D)."""
-    return jax.vmap(lambda p, r: p[r])(target_encodings, ranges)
+    """Gather predictor outputs into the band: (B, U+1, D), (B, T, s) -> (B, T, s, D).
+
+    Implemented as a one-hot contraction rather than a gather: gathers don't
+    vectorize on TPU and the gather's VJP is a scatter-add (worse).  As a
+    matmul both directions ride the MXU, and the result is exact in any
+    dtype (exactly one unit coefficient per output row; the backward's
+    per-u accumulation happens in the MXU's f32 accumulators).
+    """
+    u1 = target_encodings.shape[1]
+    onehot = jax.nn.one_hot(ranges, u1, dtype=target_encodings.dtype)  # (B, T, s, U+1)
+    return jnp.einsum("btsu,bud->btsd", onehot, target_encodings)
 
 
 # =========================================================================

@@ -35,12 +35,17 @@ def init_distributed(
     platforms pass them explicitly (SURVEY.md §5 last row: the comm layer
     the reference never had).
     """
+    # idempotence via the client handle, not error-message matching (the
+    # RuntimeError wording changes across jax versions)
+    state = getattr(getattr(jax._src, "distributed", None), "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except RuntimeError as err:
-        # tolerate ONLY re-initialization; a connect/timeout failure must
-        # surface (silently falling back to single-process turns a comm
-        # problem into wrong training semantics)
+        # last-resort tolerance for re-initialization raced from elsewhere;
+        # a connect/timeout failure must surface (silently falling back to
+        # single-process turns a comm problem into wrong training semantics)
         if "already" not in str(err) and "only be called once" not in str(err):
             raise
 

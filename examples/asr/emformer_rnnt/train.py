@@ -156,6 +156,58 @@ class TedliumBatches(LibriSpeechBatches):
         return text.lower().replace("<unk>", "").strip()
 
 
+class MuSTCBatches(LibriSpeechBatches):
+    """Char-level MuST-C segment batches (reference mustc sub-recipe,
+    /root/reference/examples/asr/emformer_rnnt/mustc/dataset.py:13-51):
+    long-talk wavs under ``<root>/<folder>/data/<subset>/wav`` sliced by the
+    (offset, duration) entries of ``txt/<subset>.yaml``, transcripts read
+    line-aligned from ``txt/<subset>.<language>``."""
+
+    def __init__(self, root, batch_size, subset="train", language="en",
+                 folder_in_archive="en-de", max_seconds=8.0):
+        import os
+
+        import yaml
+
+        data_dir = os.path.join(root, folder_in_archive, "data", subset)
+        with open(os.path.join(data_dir, "txt", f"{subset}.yaml")) as f:
+            file_list = yaml.safe_load(f)
+        with open(os.path.join(data_dir, "txt", f"{subset}.{language}")) as f:
+            trans = f.read().splitlines()
+        if len(file_list) != len(trans):
+            raise RuntimeError(
+                f"MuST-C segment/transcript mismatch: {len(file_list)} yaml entries "
+                f"vs {len(trans)} transcript lines"
+            )
+        self.segments = [
+            (os.path.join(data_dir, "wav", item["wav"]),
+             int(item["offset"] * SAMPLE_RATE), int(item["duration"] * SAMPLE_RATE), t)
+            for item, t in zip(file_list, trans)
+        ]
+        self.batch_size = batch_size
+        self.max_len = int(max_seconds * SAMPLE_RATE)
+        self.vocab = {c: i for i, c in enumerate(self.LABELS)}
+
+    def __iter__(self):
+        import audio_tpu
+
+        epoch = 0
+        while True:
+            order = np.random.default_rng(epoch).permutation(len(self.segments))
+            batch = []
+            for i in order:
+                path, off, dur, text = self.segments[int(i)]
+                wav, _sr = audio_tpu.load(path, frame_offset=off, num_frames=dur)
+                wav = np.asarray(wav, np.float32).reshape(-1)[: self.max_len]
+                tokens = [self.vocab[c] for c in self._clean_text(text) if c in self.vocab]
+                if tokens and wav.size:
+                    batch.append((wav, tokens))
+                if len(batch) == self.batch_size:
+                    yield self._collate(batch)
+                    batch = []
+            epoch += 1
+
+
 # Reference sub-recipe vocab sizes: librispeech 4097-piece sentencepiece
 # (librispeech/lightning.py:74), tedlium3 / mustc 501
 # (tedlium3/lightning.py:82, mustc/lightning.py:52). Char-level fallback (29)
@@ -187,6 +239,10 @@ def main():
     p.add_argument("--librispeech-path", default=None)
     p.add_argument("--librispeech-url", default="train-clean-100")
     p.add_argument("--tedlium-path", default=None, help="TED-LIUM release3 root")
+    p.add_argument("--mustc-path", default=None,
+                   help="MuST-C root (contains <folder>/data/<subset>/{wav,txt})")
+    p.add_argument("--mustc-language", default="en")
+    p.add_argument("--mustc-folder", default="en-de")
     p.add_argument("--num-symbols", type=int, default=None,
                    help="default: 29 (char) with a dataset, else the reference "
                         "sub-recipe vocab (librispeech 4097, tedlium3/mustc 501)")
@@ -199,7 +255,11 @@ def main():
     mesh = create_mesh(tp=1)
     print(f"mesh: {mesh.shape}, devices: {len(jax.devices())}")
 
-    if args.tedlium_path and not args.synthetic:
+    if args.mustc_path and not args.synthetic:
+        data = MuSTCBatches(args.mustc_path, args.global_batch,
+                            language=args.mustc_language, folder_in_archive=args.mustc_folder)
+        num_symbols = data.num_symbols
+    elif args.tedlium_path and not args.synthetic:
         data = TedliumBatches(args.tedlium_path, args.global_batch)
         num_symbols = data.num_symbols
     elif args.librispeech_path and not args.synthetic:

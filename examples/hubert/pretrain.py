@@ -57,9 +57,15 @@ def frame_count(num_samples: int, conv_cfg) -> int:
 
 
 def masked_ce(logits, labels, mask):
-    """Cross entropy over positions where ``mask`` is set; logits (B,T,C)."""
+    """Cross entropy over positions where ``mask`` is set; logits (B,T,C).
+
+    Positions with ``labels < 0`` are excluded: the real-data path marks
+    frames beyond an utterance's true audio (zero-padding) with -1 so the
+    model is never trained to predict cluster ids for content it never saw.
+    """
+    mask = mask & (labels >= 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    ll = jnp.take_along_axis(logp, jnp.maximum(labels, 0)[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(mask.sum(), 1)
     return -(ll * mask).sum() / denom
 
@@ -123,13 +129,19 @@ def main():
 
                 b = args.global_batch
                 wav = np.zeros((b, n_samp), np.float32)
-                labels = np.zeros((b, n_frames), np.int32)
+                labels = np.full((b, n_frames), -1, np.int32)  # -1 = no audio
                 for j in range(b):
                     k = (step * b + j) % len(rel_paths)
                     w, _sr = audio_tpu.load(os.path.join(root, rel_paths[k]))
                     w = np.asarray(w, np.float32).reshape(-1)[:n_samp]
                     wav[j, : w.shape[-1]] = w
-                    labels[j, :n_lab_frames] = all_labels[k, :n_lab_frames]
+                    # trim labels to the frames the (possibly truncated)
+                    # waveform actually covers: preprocess computed them on
+                    # audio zero-padded to the corpus max length, so frames
+                    # past frame_count(len(w)) describe content the model
+                    # never sees (ADVICE r3)
+                    valid = min(n_lab_frames, frame_count(w.shape[-1], conv_cfg))
+                    labels[j, :valid] = all_labels[k, :valid]
                 return wav, labels
 
             real = real_batch

@@ -42,6 +42,40 @@ def test_emformer_rnnt_recipe_bf16():
 
 
 @pytest.mark.slow
+def test_emformer_rnnt_recipe_mustc_real_data(tmp_path):
+    """2 real steps from an on-disk MuST-C-layout corpus (long wav + yaml
+    segment list + line-aligned transcripts), mirroring the reference mustc
+    sub-recipe (/root/reference/examples/asr/emformer_rnnt/mustc/dataset.py)."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "en-de" / "data" / "train"
+    (d / "wav").mkdir(parents=True)
+    (d / "txt").mkdir(parents=True)
+    # two talks, segments cut by offset/duration
+    entries, lines = [], []
+    for talk in range(2):
+        talk_wav = (rng.standard_normal((1, 40000)) * 0.1).astype(np.float32)
+        aio.save(str(d / "wav" / f"ted_{talk}.wav"), talk_wav, 16000)
+        for seg in range(4):
+            entries.append(
+                f"- {{duration: {0.35 + 0.05 * seg:.2f}, offset: {seg * 0.5:.2f}, "
+                f"speaker_id: spk{talk}, wav: ted_{talk}.wav}}"
+            )
+            lines.append(f"hello mustc segment {seg}")
+    (d / "txt" / "train.yaml").write_text("\n".join(entries) + "\n")
+    (d / "txt" / "train.en").write_text("\n".join(lines) + "\n")
+
+    _run(
+        f"{_REPO}/examples/asr/emformer_rnnt/train.py",
+        ["train.py", "--tiny", "--steps", "2", "--global-batch", "8",
+         "--model-type", "mustc", "--mustc-path", str(tmp_path)],
+    )
+
+
+@pytest.mark.slow
 def test_emformer_rnnt_recipe_pruned_loss():
     """Pruned transducer loss path (0.5*simple + banded-exact, --pruned-loss)."""
     _run(

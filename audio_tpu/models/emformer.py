@@ -144,12 +144,17 @@ class _EmformerAttention(nn.Module):
         v = value.reshape(tk, b, h, dh)
         weights = jnp.einsum("qbhd,kbhd->bhqk", q, k)
         if mask_bias is not None:
+            # f32 bias also promotes the logits, which is where softmax
+            # stability wants f32 anyway
             if mask_bias.ndim == 2:
                 weights = weights + mask_bias[None, None]
             else:
                 weights = weights + mask_bias[:, None]
         probs = jax.nn.softmax(weights, axis=-1)
-        attn = jnp.einsum("bhqk,kbhd->qbhd", probs, v)
+        # cast probs back to the value dtype: without this the PV matmul and
+        # every op downstream (out_proj, FFN) silently run in f32 under bf16
+        # params — measured as the main encoder MFU loss at B=64
+        attn = jnp.einsum("bhqk,kbhd->qbhd", probs.astype(v.dtype), v)
         return attn.reshape(tq, b, self.input_dim)
 
     def _forward_impl(

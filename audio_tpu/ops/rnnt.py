@@ -30,6 +30,11 @@ __all__ = ["rnnt_alphas", "rnnt_betas", "rnnt_loss_from_logprobs", "rnnt_loss_co
 
 _NEG_INF = -1e30
 
+# DP rows are tiny ((B, U+1) / (B, s) elementwise + a log-depth scan), so the
+# T-step lax.scan is dominated by per-iteration loop overhead on TPU;
+# unrolling 8 rows per iteration amortizes it without changing the math.
+_SCAN_UNROLL = 8
+
 
 def _semiring_scan(base: jnp.ndarray, coeff: jnp.ndarray) -> jnp.ndarray:
     """Solve y[u] = logaddexp(base[u], y[u-1] + coeff[u]) along the last axis.
@@ -75,6 +80,7 @@ def rnnt_alphas(
         step,
         alpha0,
         (jnp.moveaxis(blank_lp[:, :-1], 1, 0), jnp.moveaxis(label_pad[:, 1:], 1, 0), ts),
+        unroll=_SCAN_UNROLL,
     )
     return jnp.concatenate([alpha0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
 
@@ -126,6 +132,7 @@ def rnnt_betas(
         step,
         beta_last,
         (jnp.moveaxis(blank_lp[:, :-1][:, ::-1], 1, 0), jnp.moveaxis(label_lp[:, :-1][:, ::-1], 1, 0), ts),
+        unroll=_SCAN_UNROLL,
     )
     betas = jnp.concatenate([jnp.moveaxis(rest, 0, 1)[:, ::-1], beta_last[:, None]], axis=1)
     # rows t > t_last hold frozen copies of the t_last row, matching alphas' freeze.

@@ -41,7 +41,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .rnnt import _NEG_INF, _semiring_scan, occupancy_grads
+from .rnnt import _NEG_INF, _SCAN_UNROLL, _semiring_scan, occupancy_grads
 
 __all__ = [
     "rnnt_loss_simple_core",
@@ -282,6 +282,7 @@ def _banded_alphas(blank_lp, label_lp, starts, logit_lengths):
             jnp.moveaxis(blank_lp[:, 1:] > _NEG_INF / 2, 1, 0),
             ts,
         ),
+        unroll=_SCAN_UNROLL,
     )
     return jnp.concatenate([alpha0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
 
@@ -330,6 +331,7 @@ def _banded_betas(blank_lp, label_lp, starts, logit_lengths, target_lengths):
             jnp.moveaxis(d[:, ::-1], 1, 0),
             ts,
         ),
+        unroll=_SCAN_UNROLL,
     )
     return jnp.concatenate([jnp.moveaxis(rest, 0, 1)[:, ::-1], beta_last[:, None]], axis=1)
 

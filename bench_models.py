@@ -378,7 +378,9 @@ def bench_rnnt_train(sink, dtype="f32", batch=8):
         return optax.apply_updates(params, updates), opt_state, loss
 
     single = jax.jit(train_step)
-    key = jax.random.PRNGKey(3)
+    # rbg dropout keys: the TPU-native generator (threefry dropout mask
+    # generation measured +43 ms/step at B=64 — tools/profile_pruned_parts.py)
+    key = jax.random.key(3, impl="rbg")
     fl = flops_of(single, params, opt_state, key)
 
     K = 4
@@ -395,7 +397,7 @@ def bench_rnnt_train(sink, dtype="f32", batch=8):
 
     losses = jax.block_until_ready(jax.jit(chain)(params, opt_state, key))
     assert bool(jnp.isfinite(losses).all()), losses
-    w = timed(chain, lambda i: (params, opt_state, jax.random.PRNGKey(10 + i))) / K
+    w = timed(chain, lambda i: (params, opt_state, jax.random.key(10 + i, impl="rbg"))) / K
     mfu = fl / w / peak_flops() if fl else None
     suffix = ("_bf16" if dtype == "bf16" else "") + (f"_b{B}" if B != 8 else "")
     emit({
@@ -493,7 +495,9 @@ def bench_rnnt_train_pruned(sink, dtype="bf16", batch=64, band=16):
         return optax.apply_updates(params, updates), opt_state, loss
 
     single = jax.jit(train_step)
-    key = jax.random.PRNGKey(3)
+    # rbg dropout keys: the TPU-native generator (threefry dropout mask
+    # generation measured +43 ms/step at B=64 — tools/profile_pruned_parts.py)
+    key = jax.random.key(3, impl="rbg")
     fl = flops_of(single, params, opt_state, key)
 
     K = 4
@@ -510,7 +514,7 @@ def bench_rnnt_train_pruned(sink, dtype="bf16", batch=64, band=16):
 
     losses = jax.block_until_ready(jax.jit(chain)(params, opt_state, key))
     assert bool(jnp.isfinite(losses).all()), losses
-    w = timed(chain, lambda i: (params, opt_state, jax.random.PRNGKey(10 + i))) / K
+    w = timed(chain, lambda i: (params, opt_state, jax.random.key(10 + i, impl="rbg"))) / K
     mfu = fl / w / peak_flops() if fl else None
     suffix = ("_bf16" if dtype == "bf16" else "") + f"_b{B}"
     emit({

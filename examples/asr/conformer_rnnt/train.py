@@ -101,6 +101,20 @@ class ConformerRNNT(nn.Module):
         logits, src_lens, tgt_lens = self.joiner(src_enc, lengths, tgt_enc, tgt_lens)
         return logits, src_lens, tgt_lens
 
+    # RNNT decode protocol (audio_tpu.models.rnnt_decoder expects
+    # transcribe/predict/join, matching audio_tpu.models.RNNT)
+    def transcribe(self, sources, source_lengths, deterministic: bool = True):
+        x, lengths = _time_reduction(sources, source_lengths, self.time_reduction_stride)
+        x = self.input_linear(x)
+        x, lengths = self.conformer(x, lengths, deterministic=deterministic)
+        return self.output_linear(x), lengths
+
+    def predict(self, targets, target_lengths, state=None, deterministic: bool = True):
+        return self.predictor(targets, target_lengths, state, deterministic=deterministic)
+
+    def join(self, source_encodings, source_lengths, target_encodings, target_lengths):
+        return self.joiner(source_encodings, source_lengths, target_encodings, target_lengths)
+
 
 def tiny_model(num_symbols: int) -> ConformerRNNT:
     return ConformerRNNT(
@@ -147,6 +161,10 @@ def main():
     p.add_argument("--num-symbols", type=int, default=1024,
                    help="vocabulary size (reference uses a 1k SentencePiece model)")
     p.add_argument("--time-mask", type=int, default=100)
+    p.add_argument("--overfit", action="store_true",
+                   help="memorization gate: train on ONE fixed batch with "
+                        "dropout/SpecAugment off, then assert greedy decode "
+                        "reproduces the training transcripts exactly")
     p.add_argument("--freq-mask", type=int, default=27)
     args = p.parse_args()
 
@@ -209,11 +227,13 @@ def main():
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
+    deterministic = bool(args.overfit)  # memorization gate trains dropout-off
+
     def loss_fn(params, feats, feat_lens, targets, target_lengths, key):
         tgt_in = jnp.pad(targets, ((0, 0), (1, 0)), constant_values=BLANK_FIRST_TOKEN)
         logits, src_lens, _ = model.apply(
             {"params": params}, feats, feat_lens, tgt_in, target_lengths + 1,
-            deterministic=False, rngs={"dropout": key},
+            deterministic=deterministic, rngs={"dropout": key},
         )
         return F.rnnt_loss(
             logits, targets, src_lens, target_lengths, blank=BLANK_FIRST_TOKEN, reduction="mean"
@@ -230,11 +250,15 @@ def main():
     bsh2 = batch_sharding(mesh, 2)
     key = jax.random.PRNGKey(1)
     it = iter(data)
+    if args.overfit:
+        fixed = next(it)
+        it = iter(lambda: fixed, None)  # the same batch forever
     t0 = time.time()
     for step in range(args.steps):
         wav, wav_lens, tgt, tgt_lens = next(it)
         key, kf, kd = jax.random.split(key, 3)
-        feats, feat_lens = featurize(jnp.asarray(wav), jnp.asarray(wav_lens), kf)
+        feats, feat_lens = featurize(jnp.asarray(wav), jnp.asarray(wav_lens), kf,
+                                     train=not args.overfit)
         feats = jax.device_put(feats, batch_sharding(mesh, 3))
         feat_lens = jax.device_put(feat_lens, batch_sharding(mesh, 1))
         tgt = jax.device_put(jnp.asarray(tgt), bsh2)
@@ -242,6 +266,28 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, feats, feat_lens, tgt, tgt_lens, kd)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
+
+    if args.overfit:
+        from audio_tpu.models.rnnt_decoder import rnnt_greedy_decode
+
+        wav, wav_lens, tgt, tgt_lens = fixed
+        feats, feat_lens = featurize(jnp.asarray(wav), jnp.asarray(wav_lens),
+                                     jax.random.PRNGKey(9), train=False)
+        tokens, counts = jax.jit(
+            lambda p, f, fl: rnnt_greedy_decode(model, {"params": p}, f, fl,
+                                                blank=BLANK_FIRST_TOKEN)
+        )(params, feats, feat_lens)
+        tokens, counts = np.asarray(tokens), np.asarray(counts)
+        n_exact = sum(
+            int(tokens[i, : counts[i]].tolist() == tgt[i, : tgt_lens[i]].tolist())
+            for i in range(len(tgt_lens))
+        )
+        print(f"overfit_gate: exact {n_exact}/{len(tgt_lens)}  final_loss {float(loss):.4f}")
+        if n_exact != len(tgt_lens):
+            raise AssertionError(
+                f"memorization gate failed: {n_exact}/{len(tgt_lens)} exact "
+                f"transcript matches after {args.steps} steps (loss {float(loss):.4f})"
+            )
 
 
 if __name__ == "__main__":

@@ -224,6 +224,12 @@ def main():
     p.add_argument("--tiny", action="store_true", help="2-layer debug model")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward with f32 master weights")
+    p.add_argument("--overfit", action="store_true",
+                   help="memorization gate: train on ONE fixed batch with "
+                        "dropout off, then assert greedy decode reproduces "
+                        "the training transcripts exactly (offline-provable "
+                        "learning evidence; the reference's analog is its "
+                        "published WER tables, emformer_rnnt/README.md:40-47)")
     p.add_argument("--pruned-loss", action="store_true",
                    help="pruned transducer loss (0.5*simple + banded-exact, "
                         "arXiv:2206.13236): the joiner runs only on a "
@@ -324,6 +330,8 @@ def main():
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
+    deterministic = bool(args.overfit)  # memorization gate trains dropout-off
+
     def loss_fn(params, feats, feat_lens, targets, target_lengths, key):
         if args.bf16:
             # bf16 compute / f32 masters: cast inside the loss so jax.grad
@@ -336,11 +344,11 @@ def main():
             mp = {"params": params["model"]}
             band = args.prune_band
             enc, src_lens = model.apply(
-                mp, feats, feat_lens, deterministic=False, rngs={"dropout": key},
+                mp, feats, feat_lens, deterministic=deterministic, rngs={"dropout": key},
                 method=model.transcribe,
             )
             pred, _, _ = model.apply(
-                mp, tgt_in, target_lengths + 1, None, deterministic=False,
+                mp, tgt_in, target_lengths + 1, None, deterministic=deterministic,
                 rngs={"dropout": key}, method=model.predict,
             )
             simple, post = F.rnnt_loss_simple(
@@ -365,7 +373,7 @@ def main():
             return 0.5 * simple + pruned
         logits, src_lens, _, _ = model.apply(
             {"params": params}, feats, feat_lens, tgt_in, target_lengths + 1,
-            deterministic=False, rngs={"dropout": key},
+            deterministic=deterministic, rngs={"dropout": key},
         )
         return F.rnnt_loss(
             logits, targets, src_lens, target_lengths, blank=BLANK_FIRST_TOKEN, reduction="mean"
@@ -382,6 +390,9 @@ def main():
     bsh2 = batch_sharding(mesh, 2)
     key = jax.random.PRNGKey(1)
     it = iter(data)
+    if args.overfit:
+        fixed = next(it)
+        it = iter(lambda: fixed, None)  # the same batch forever
     t0 = time.time()
     for step in range(start_step, args.steps):
         wav, wav_lens, tgt, tgt_lens = next(it)
@@ -398,6 +409,31 @@ def main():
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
         if ckpt_mgr is not None and (step % args.checkpoint_every == 0 or step == args.steps - 1):
             ckpt_mgr.save(step, {"params": params, "opt_state": opt_state, "step": step})
+
+    if args.overfit:
+        # memorization gate: greedy decode of the training batch must
+        # reproduce every training transcript exactly
+        from audio_tpu.models.rnnt_decoder import rnnt_greedy_decode
+
+        wav, wav_lens, tgt, tgt_lens = fixed
+        feats, feat_lens = featurize(jnp.asarray(wav), jnp.asarray(wav_lens))
+        mp = params["model"] if args.pruned_loss else params
+        tokens, counts = jax.jit(
+            lambda p, f, fl: rnnt_greedy_decode(model, {"params": p}, f, fl,
+                                                blank=BLANK_FIRST_TOKEN)
+        )(mp, feats, feat_lens)
+        tokens, counts = np.asarray(tokens), np.asarray(counts)
+        n_exact = 0
+        for i in range(len(tgt_lens)):
+            hyp = tokens[i, : counts[i]].tolist()
+            ref_t = tgt[i, : tgt_lens[i]].tolist()
+            n_exact += int(hyp == ref_t)
+        print(f"overfit_gate: exact {n_exact}/{len(tgt_lens)}  final_loss {float(loss):.4f}")
+        if n_exact != len(tgt_lens):
+            raise AssertionError(
+                f"memorization gate failed: {n_exact}/{len(tgt_lens)} exact "
+                f"transcript matches after {args.steps} steps (loss {float(loss):.4f})"
+            )
 
     if ckpt_mgr is not None:
         ckpt_mgr.close()

@@ -90,6 +90,11 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--audio-seconds", type=float, default=1.0)
+    p.add_argument("--overfit", action="store_true",
+                   help="memorization gate: train on ONE fixed batch with "
+                        "dropout off and the encoder unfrozen, then assert "
+                        "CTC greedy decode reproduces the training "
+                        "transcripts exactly")
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -177,16 +182,20 @@ def main():
     rep = replicate(mesh)
     params, opt_state = jax.device_put((params, opt_state), rep)
 
+    deterministic = bool(args.overfit)  # memorization gate trains dropout-off
+
     def loss_fn(params, wav, wav_len, tgt, tgt_len, key):
         logits, out_len = model.apply(
-            {"params": params}, wav, wav_len, deterministic=False, rngs={"dropout": key}
+            {"params": params}, wav, wav_len, deterministic=deterministic,
+            rngs={"dropout": key}
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         return ctc_loss(logp, tgt, out_len, tgt_len, blank=0, reduction="mean")
 
     def gate_grads(grads, step):
         """Feature extractor always frozen; encoder gated until freeze_encoder_updates."""
-        enc_gate = jnp.asarray(step >= args.freeze_encoder_updates, jnp.float32)
+        freeze_until = 0 if args.overfit else args.freeze_encoder_updates
+        enc_gate = jnp.asarray(step >= freeze_until, jnp.float32)
         out = {}
         for k, v in grads.items():
             if k == "feature_extractor":
@@ -207,9 +216,14 @@ def main():
     bsh2 = batch_sharding(mesh, 2)
     bsh1 = batch_sharding(mesh, 1)
     key = jax.random.PRNGKey(2)
+    fixed = None
+    if args.overfit:
+        fixed = next(batches) if batches is not None else synthetic_batch()
     t0 = time.time()
     for step in range(args.steps):
-        if batches is not None:
+        if fixed is not None:
+            batch = fixed
+        elif batches is not None:
             try:
                 batch = next(batches)
             except StopIteration:
@@ -227,6 +241,32 @@ def main():
         )
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: ctc loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
+
+    if args.overfit:
+        # memorization gate: CTC greedy decode (argmax, collapse repeats,
+        # drop blanks) must reproduce every training transcript exactly
+        wav, wav_len, tgt, tgt_len = fixed
+        logits, out_len = jax.jit(
+            lambda p: model.apply({"params": p}, jnp.asarray(wav), jnp.asarray(wav_len),
+                                  deterministic=True)
+        )(params)
+        path = np.asarray(jnp.argmax(logits, -1))
+        out_len = np.asarray(out_len)
+        n_exact = 0
+        for i in range(len(tgt_len)):
+            seq, prev = [], -1
+            for t in path[i, : out_len[i]]:
+                if t != prev and t != 0:
+                    seq.append(int(t))
+                prev = t
+            ref_t = tgt[i, : tgt_len[i]].tolist()
+            n_exact += int(seq == ref_t)
+        print(f"overfit_gate: exact {n_exact}/{len(tgt_len)}  final_loss {float(loss):.4f}")
+        if n_exact != len(tgt_len):
+            raise AssertionError(
+                f"memorization gate failed: {n_exact}/{len(tgt_len)} exact "
+                f"transcript matches after {args.steps} steps (loss {float(loss):.4f})"
+            )
 
 
 if __name__ == "__main__":

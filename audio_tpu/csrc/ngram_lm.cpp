@@ -317,6 +317,29 @@ bool load_kenlm_binary(NgramLM* lm, const std::string& data, std::string* err) {
     }
     return false;
   }
+  // Sanity reference values (lm/binary_format.cc Sanity::SetToReference):
+  // f32 {0, 1, -0.5}, u32 {1, 0xffffffff}, u64 {1}.  Two Sanity geometries
+  // are consistent with the 88-byte struct observed in the wild: floats at
+  // 60 (magic field padded to 60) or at 56 (52/53-byte kMagicBytes +
+  // 4-byte alignment pad).  Sniff both and accept whichever matches — the
+  // tie is broken here at load time, and a file matching neither is
+  // corrupt (KenLM writes these constants unconditionally).
+  auto sanity_matches = [&](size_t f_off, size_t u_off) {
+    float f[3];
+    uint32_t u[2];
+    uint64_t q;
+    std::memcpy(f, p + f_off, 12);
+    std::memcpy(u, p + u_off, 8);
+    std::memcpy(&q, p + 80, 8);
+    return f[0] == 0.f && f[1] == 1.f && f[2] == -0.5f && u[0] == 1u &&
+           u[1] == 0xffffffffu && q == 1ull;
+  };
+  if (!sanity_matches(60, 72) && !sanity_matches(56, 68)) {
+    *err =
+        "KenLM binary Sanity reference values match neither known geometry "
+        "(floats at offset 60 or 56): corrupt or incompatible file";
+    return false;
+  }
   const uint64_t kSanity = 88;
   uint8_t order = p[kSanity];
   float multiplier;

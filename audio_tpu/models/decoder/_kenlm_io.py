@@ -158,14 +158,24 @@ def _parse_arpa(path):
     return order, unigrams, higher
 
 
-def build_binary_lm(arpa_path: str, out_path: str, probing_multiplier: float = 1.5) -> None:
+def build_binary_lm(arpa_path: str, out_path: str, probing_multiplier: float = 1.5,
+                    sanity_floats_at: int = 60) -> None:
     """Convert an ARPA n-gram model to a KenLM probing-format binary.
 
     The audio_tpu equivalent of KenLM's ``build_binary probing in.arpa out.bin``;
     ``ctc_decoder(..., lm=out_path)`` loads the result natively.
+
+    ``sanity_floats_at`` selects the Sanity-block geometry: reference floats
+    at offset 60 (60-byte magic field, the default) or 56 (52-byte magic +
+    4 alignment-pad bytes).  Both total 88 bytes and the native reader
+    sniffs/accepts either (csrc/ngram_lm.cpp); which one external KenLM's
+    memcmp expects could not be verified offline, so the writer exposes
+    both.
     """
     if not (1.0 < probing_multiplier < 16.0):
         raise ValueError("probing_multiplier must be in (1, 16)")
+    if sanity_floats_at not in (56, 60):
+        raise ValueError("sanity_floats_at must be 56 or 60")
     order, unigrams, higher = _parse_arpa(arpa_path)
 
     # word ids: <unk> is always 0 (KenLM convention), others by ARPA order
@@ -186,8 +196,12 @@ def build_binary_lm(arpa_path: str, out_path: str, probing_multiplier: float = 1
     header = bytearray()
     # Sanity (88 bytes): magic field, reference floats/ints for endianness
     # and width checks (lm/binary_format.cc Sanity::SetToReference)
-    header += _MAGIC_FIELD
-    header += struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
+    if sanity_floats_at == 60:
+        header += _MAGIC_FIELD
+        header += struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
+    else:  # floats at 56: 52-byte magic + 4 alignment-pad bytes
+        header += _MAGIC_FIELD[:56]
+        header += struct.pack("<fffII4xQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
     assert len(header) == 88
     # FixedWidthParameters (20 bytes): order, multiplier, PROBING(0),
     # has_vocabulary=0 (no trailing strings), search_version=0

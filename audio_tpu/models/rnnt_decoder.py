@@ -7,11 +7,13 @@ sequences, :140-165), non-blank top-k extensions survive only if they beat
 the k-th best b score (:167-199), inner expansion repeats up to
 ``step_max_tokens``, and b is ranked by length-normalized score per frame.
 
-TPU-native redesign: hypotheses live in fixed-shape arrays
-(tokens (K, Lmax), scores (K,), predictor state stacked on a leading K axis)
-and the whole search is one jittable ``lax.scan`` over frames with a
-``fori_loop`` inner expansion — no host sync per step (the reference syncs
-``next_token_probs.cpu()`` every expansion, rnnt_decoder.py:245).
+TPU-native redesign: hypotheses live in fixed-shape arrays with a leading
+stream axis S (tokens (S, K, Lmax), scores (S, K), predictor state stacked
+on (S, K) axes) and the whole search is one jittable ``lax.scan`` over
+frames with a ``while_loop`` inner expansion, natively batched over S — no
+host sync per step (the reference syncs ``next_token_probs.cpu()`` every
+expansion, rnnt_decoder.py:245) and no vmap (whose while_loop batching rule
+would re-select every carry leaf per iteration and scatter arena writes).
 
 Three deliberate deviations (tolerance-level, documented):
 * the reference assumes blank == last vocab index when scoring
@@ -105,30 +107,48 @@ class RNNTBeamSearch:
         self.step_max_tokens = step_max_tokens
         self.max_tokens = max_tokens
 
-    # --- model wrappers -------------------------------------------------
+    # --- model wrappers (all batched over a leading stream axis S) -------
     def _predict(self, tokens, state):
-        """tokens (K, 1) -> (pred_out (K, 1, D), state)."""
-        k = tokens.shape[0]
+        """tokens (S, K, 1) -> (pred_out (S, K, 1, D), state (S, K, ...))."""
+        s, k = tokens.shape[:2]
+
+        def flat(x):
+            return x.reshape((s * k,) + x.shape[2:])
+
         out, _, new_state = self.model.apply(
-            self.params, tokens, jnp.ones((k,), jnp.int32), state, deterministic=True,
-            method=self.model.predict,
+            self.params, flat(tokens), jnp.ones((s * k,), jnp.int32),
+            None if state is None else jax.tree.map(flat, state),
+            deterministic=True, method=self.model.predict,
         )
-        return out, new_state
+
+        def unflat(x):
+            return x.reshape((s, k) + x.shape[1:])
+
+        return unflat(out), jax.tree.map(unflat, new_state)
 
     def _join(self, enc_t, pred_out):
-        """enc_t (1, D), pred_out (K, 1, D) -> log-probs (K, V)."""
-        k = pred_out.shape[0]
-        src = jnp.broadcast_to(enc_t[None], (k, 1, enc_t.shape[-1]))
+        """enc_t (S, D), pred_out (S, K, 1, D) -> log-probs (S, K, V)."""
+        s, k = pred_out.shape[:2]
+        d = enc_t.shape[-1]
+        src = jnp.broadcast_to(enc_t[:, None, None, :], (s, k, 1, d)).reshape(s * k, 1, d)
         joined, _, _ = self.model.apply(
-            self.params, src, jnp.ones((k,), jnp.int32), pred_out, jnp.ones((k,), jnp.int32),
+            self.params, src, jnp.ones((s * k,), jnp.int32),
+            pred_out.reshape(s * k, 1, d), jnp.ones((s * k,), jnp.int32),
             method=self.model.join,
         )
-        return jax.nn.log_softmax(joined[:, 0, 0] / self.temperature, axis=-1)
+        # score math stays f32 even under bf16 params: the joiner matmul runs
+        # in the param dtype (MXU bf16), the log-softmax and every beam score
+        # downstream accumulate in f32
+        return jax.nn.log_softmax(
+            joined[:, 0, 0].reshape(s, k, -1).astype(jnp.float32) / self.temperature, axis=-1
+        )
 
     # --- beam primitives ------------------------------------------------
     def _init_beam(self, beam_width: int) -> Hypothesis:
-        tok = jnp.full((1, 1), self.blank, jnp.int32)
+        """Single-stream beam (K-leading; the search adds the S axis)."""
+        tok = jnp.full((1, 1, 1), self.blank, jnp.int32)
         pred_out, state = self._predict(tok, None)
+        pred_out, state = jax.tree.map(lambda x: x[0], (pred_out, state))
         k = beam_width
 
         def expand(x):
@@ -144,7 +164,7 @@ class RNNTBeamSearch:
 
     def _merge_blank_into_b(self, b: _BSet, a: Hypothesis, blank_scores: jnp.ndarray,
                             iter_idx: jnp.ndarray) -> _BSet:
-        """logaddexp-merge a's blank extensions into the slim b set.
+        """logaddexp-merge a's blank extensions into the slim b set (batched).
 
         Sequence identity is (count, two rolling uint32 fingerprints) instead
         of an elementwise (Ka, Kb, Lmax) token comparison — O(Ka*Kb) work per
@@ -154,66 +174,76 @@ class RNNTBeamSearch:
         snapshot; merged entries keep their ptr (same token sequence ==> same
         predictor state, so either source is valid).
         """
-        ka = a.counts.shape[0]
+        n_s, ka = a.counts.shape
         matches = (
-            (a.counts[:, None] == b.counts[None, :])
-            & (a.sig[:, None] == b.sig[None, :])
-            & (a.sig2[:, None] == b.sig2[None, :])
-            & (a.counts[:, None] >= 0) & (b.counts[None, :] >= 0)
-        )  # (Ka, Kb)
-        contrib = jnp.where(matches, blank_scores[:, None], _NEG_INF)
-        merged_scores = jnp.logaddexp(b.scores, jax.nn.logsumexp(contrib, axis=0))
+            (a.counts[:, :, None] == b.counts[:, None, :])
+            & (a.sig[:, :, None] == b.sig[:, None, :])
+            & (a.sig2[:, :, None] == b.sig2[:, None, :])
+            & (a.counts[:, :, None] >= 0) & (b.counts[:, None, :] >= 0)
+        )  # (S, Ka, Kb)
+        contrib = jnp.where(matches, blank_scores[:, :, None], _NEG_INF)
+        merged_scores = jnp.logaddexp(b.scores, jax.nn.logsumexp(contrib, axis=1))
 
-        unmatched = (~matches.any(axis=1)) & (a.counts >= 0) & (blank_scores > _NEG_INF / 2)
+        unmatched = (~matches.any(axis=2)) & (a.counts >= 0) & (blank_scores > _NEG_INF / 2)
         cand_scores = jnp.where(unmatched, blank_scores, _NEG_INF)
 
-        pool_scores = jnp.concatenate([merged_scores, cand_scores])
-        pool_counts = jnp.concatenate([b.counts, a.counts])
-        pool_sig = jnp.concatenate([b.sig, a.sig])
-        pool_sig2 = jnp.concatenate([b.sig2, a.sig2])
-        pool_ptr = jnp.concatenate([b.ptr, iter_idx * ka + jnp.arange(ka, dtype=jnp.int32)])
-
-        top_scores, top_idx = jax.lax.top_k(pool_scores, b.counts.shape[0])
-        new_counts = jnp.where(top_scores > _NEG_INF / 2, jnp.take(pool_counts, top_idx), -1)
-        return _BSet(
-            new_counts,
-            top_scores,
-            jnp.take(pool_sig, top_idx),
-            jnp.take(pool_sig2, top_idx),
-            jnp.take(pool_ptr, top_idx),
+        new_ptr = jnp.broadcast_to(
+            iter_idx * ka + jnp.arange(ka, dtype=jnp.int32), (n_s, ka)
         )
+        pool_scores = jnp.concatenate([merged_scores, cand_scores], axis=1)
+        pool_counts = jnp.concatenate([b.counts, a.counts], axis=1)
+        pool_sig = jnp.concatenate([b.sig, a.sig], axis=1)
+        pool_sig2 = jnp.concatenate([b.sig2, a.sig2], axis=1)
+        pool_ptr = jnp.concatenate([b.ptr, new_ptr], axis=1)
+
+        top_scores, top_idx = jax.lax.top_k(pool_scores, b.counts.shape[1])
+        take = lambda x: jnp.take_along_axis(x, top_idx, axis=1)  # noqa: E731
+        new_counts = jnp.where(top_scores > _NEG_INF / 2, take(pool_counts), -1)
+        return _BSet(new_counts, top_scores, take(pool_sig), take(pool_sig2), take(pool_ptr))
 
     def _expand_a(self, a: Hypothesis, probs: jnp.ndarray, b_kth_score, beam_width: int) -> Hypothesis:
-        """Non-blank top-k extensions that beat the k-th best b score."""
-        nonblank = probs[:, :-1]  # blank assumed last, as the reference scores
-        cand = jnp.where((a.counts >= 0)[:, None], a.scores[:, None] + nonblank, _NEG_INF)
-        flat_scores, flat_idx = jax.lax.top_k(cand.reshape(-1), beam_width)
-        hypo_idx = flat_idx // nonblank.shape[1]
-        token_idx = flat_idx % nonblank.shape[1]
-        keep = flat_scores > b_kth_score
+        """Non-blank top-k extensions that beat the k-th best b score (batched)."""
+        n_s = probs.shape[0]
+        nonblank = probs[:, :, :-1]  # blank assumed last, as the reference scores
+        cand = jnp.where((a.counts >= 0)[:, :, None], a.scores[:, :, None] + nonblank, _NEG_INF)
+        flat_scores, flat_idx = jax.lax.top_k(cand.reshape(n_s, -1), beam_width)
+        hypo_idx = flat_idx // nonblank.shape[2]  # (S, K)
+        token_idx = flat_idx % nonblank.shape[2]
+        keep = flat_scores > b_kth_score[:, None]
 
-        base_tokens = jnp.take(a.tokens, hypo_idx, axis=0)
-        base_counts = jnp.take(a.counts, hypo_idx)
+        def take_k(x):
+            # size-1 trailing index dims (no broadcast_to): XLA then lowers a
+            # SLICE gather (contiguous rows) instead of an elementwise gather
+            idx = hypo_idx.reshape(hypo_idx.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        base_tokens = take_k(a.tokens)  # (S, K, Lmax)
+        base_counts = jnp.take_along_axis(a.counts, hypo_idx, axis=1)
         pos = jnp.clip(base_counts, 0, self.max_tokens - 1)
-        new_tokens = base_tokens.at[jnp.arange(beam_width), pos].set(token_idx.astype(jnp.int32))
+        # masked write instead of a scatter: one elementwise pass over (S,K,L)
+        l_idx = jnp.arange(self.max_tokens)
+        new_tokens = jnp.where(
+            l_idx[None, None, :] == pos[:, :, None],
+            token_idx[:, :, None].astype(jnp.int32), base_tokens,
+        )
         new_counts = jnp.where(keep, base_counts + 1, -1)
         new_scores = jnp.where(keep, flat_scores, _NEG_INF)
         tok_u32 = token_idx.astype(jnp.uint32) + jnp.uint32(1)
-        new_sig = jnp.take(a.sig, hypo_idx) * _SIG_PRIME + tok_u32
-        new_sig2 = jnp.take(a.sig2, hypo_idx) * _SIG2_PRIME + tok_u32
+        new_sig = jnp.take_along_axis(a.sig, hypo_idx, axis=1) * _SIG_PRIME + tok_u32
+        new_sig2 = jnp.take_along_axis(a.sig2, hypo_idx, axis=1) * _SIG2_PRIME + tok_u32
 
-        base_state = _take_beam(a.pred_state, hypo_idx)
-        pred_out, new_state = self._predict(token_idx[:, None].astype(jnp.int32), base_state)
+        base_state = jax.tree.map(take_k, a.pred_state)
+        pred_out, new_state = self._predict(token_idx[:, :, None].astype(jnp.int32), base_state)
         return Hypothesis(new_tokens, new_counts, new_scores, pred_out, new_state, new_sig, new_sig2)
 
     @staticmethod
-    def _empty_bset(capacity: int) -> _BSet:
+    def _empty_bset(n_streams: int, capacity: int) -> _BSet:
         return _BSet(
-            jnp.full((capacity,), -1, jnp.int32),
-            jnp.full((capacity,), _NEG_INF),
-            jnp.zeros((capacity,), jnp.uint32),
-            jnp.zeros((capacity,), jnp.uint32),
-            jnp.zeros((capacity,), jnp.int32),
+            jnp.full((n_streams, capacity), -1, jnp.int32),
+            jnp.full((n_streams, capacity), _NEG_INF),
+            jnp.zeros((n_streams, capacity), jnp.uint32),
+            jnp.zeros((n_streams, capacity), jnp.uint32),
+            jnp.zeros((n_streams, capacity), jnp.int32),
         )
 
     def _search(
@@ -223,29 +253,41 @@ class RNNTBeamSearch:
         beam_width: int,
         n_valid: Optional[jnp.ndarray] = None,
     ) -> Hypothesis:
-        """enc_out (T, D); scans frames, returns the final beam (sorted).
+        """enc_out (S, T, D), init with leading S; returns the final beams.
 
-        ``n_valid`` (scalar) freezes the beam after that many frames — the
-        static-shape analogue of truncating ``enc_out`` to its valid length,
-        used by the batched paths where streams are padded to a common T.
+        NATIVELY batched over streams — deliberately not ``vmap`` of a
+        single-stream search: under vmap the ``while_loop`` batching rule
+        makes the iteration counter per-lane (so arena writes lower to
+        scatters) and re-selects EVERY carry leaf per iteration.  Here the
+        counter is a scalar (arena writes are slice updates), the loop exits
+        when every stream's a-set is empty (same trip count vmap would run),
+        and per-stream early exit needs no masking at all: an empty a-set
+        contributes only -inf candidates and no-op merges.
+
+        ``n_valid`` (S,) freezes each stream's beam after that many frames —
+        the static-shape analogue of truncating ``enc_out`` to its valid
+        length when streams are padded to a common T.
         """
-
+        n_s = enc_out.shape[0]
         b_capacity = beam_width * (self.step_max_tokens + 1)
         n_iters = self.step_max_tokens + 1
 
         def _step(b: Hypothesis, enc_t: jnp.ndarray) -> Hypothesis:
             a = b
-            bs = self._empty_bset(b_capacity)
-            # Arena of per-iteration a-set snapshots.  The b set is slim
-            # (scores/counts/fingerprints/ptr only); tokens and predictor
-            # state of the frame's winning K hypotheses are gathered from
-            # here ONCE at frame end instead of pooling ~12 KB/slot of LSTM
-            # state across b_capacity slots on every inner iteration (the r3
-            # design's dominant memory traffic and its S=512 knee).
-            arena_tokens = jnp.zeros((n_iters,) + a.tokens.shape, a.tokens.dtype)
-            arena_out = jnp.zeros((n_iters,) + a.pred_out.shape, a.pred_out.dtype)
+            bs = self._empty_bset(n_s, b_capacity)
+            # Arena of per-iteration a-set snapshots along axis 1.  The b set
+            # is slim (scores/counts/fingerprints/ptr only); tokens and
+            # predictor state of the frame's winning K hypotheses are
+            # gathered from here ONCE at frame end instead of pooling
+            # ~12 KB/slot of LSTM state across b_capacity slots on every
+            # inner iteration (the r3 design's dominant memory traffic).
+            arena_tokens = jnp.zeros(
+                a.tokens.shape[:1] + (n_iters,) + a.tokens.shape[1:], a.tokens.dtype)
+            arena_out = jnp.zeros(
+                a.pred_out.shape[:1] + (n_iters,) + a.pred_out.shape[1:], a.pred_out.dtype)
             arena_state = jax.tree.map(
-                lambda x: jnp.zeros((n_iters,) + x.shape, x.dtype), a.pred_state
+                lambda x: jnp.zeros(x.shape[:1] + (n_iters,) + x.shape[1:], x.dtype),
+                a.pred_state,
             )
 
             def inner_cond(carry):
@@ -257,20 +299,18 @@ class RNNTBeamSearch:
 
             def inner(carry):
                 i, a, bs, at, ao, ast = carry
-                at = jax.lax.dynamic_update_index_in_dim(at, a.tokens, i, 0)
-                ao = jax.lax.dynamic_update_index_in_dim(ao, a.pred_out, i, 0)
-                ast = jax.tree.map(
-                    lambda arr, x: jax.lax.dynamic_update_index_in_dim(arr, x, i, 0),
-                    ast, a.pred_state,
-                )
-                probs = self._join(enc_t[None], a.pred_out)  # (K, V)
-                blank_scores = jnp.where(a.counts >= 0, a.scores + probs[:, -1], _NEG_INF)
+                upd = lambda arr, x: jax.lax.dynamic_update_index_in_dim(arr, x, i, 1)  # noqa: E731
+                at = upd(at, a.tokens)
+                ao = upd(ao, a.pred_out)
+                ast = jax.tree.map(upd, ast, a.pred_state)
+                probs = self._join(enc_t, a.pred_out)  # (S, K, V)
+                blank_scores = jnp.where(a.counts >= 0, a.scores + probs[:, :, -1], _NEG_INF)
                 bs = self._merge_blank_into_b(bs, a, blank_scores, i)
                 # reference: candidates must beat the beam_width-th best RAW
                 # b score; -inf while fewer than beam_width b hypos exist
-                n_alive_b = jnp.sum(bs.counts >= 0)
+                n_alive_b = jnp.sum(bs.counts >= 0, axis=1)
                 top_b, _ = jax.lax.top_k(bs.scores, beam_width)
-                kth = jnp.where(n_alive_b >= beam_width, top_b[-1], _NEG_INF)
+                kth = jnp.where(n_alive_b >= beam_width, top_b[:, -1], _NEG_INF)
                 a = self._expand_a(a, probs, kth, beam_width)
                 return i + 1, a, bs, at, ao, ast
 
@@ -282,37 +322,43 @@ class RNNTBeamSearch:
             # the reference, so len(tokens)+1 == emitted + 2
             norm = jnp.where(bs.counts >= 0, bs.scores / (bs.counts + 2.0), _NEG_INF)
             _, order = jax.lax.top_k(norm, beam_width)
-            ptr = jnp.take(bs.ptr, order)
+            take = lambda x: jnp.take_along_axis(x, order, axis=1)  # noqa: E731
+            ptr = take(bs.ptr)  # (S, K) flat (iteration * K + slot)
 
             def from_arena(arr):
-                return jnp.take(arr.reshape((-1,) + arr.shape[2:]), ptr, axis=0)
+                flat = arr.reshape(arr.shape[:1] + (-1,) + arr.shape[3:])
+                idx = ptr.reshape(ptr.shape + (1,) * (flat.ndim - 2))
+                return jnp.take_along_axis(flat, idx, axis=1)  # slice gather
 
             return Hypothesis(
                 from_arena(at),
-                jnp.take(bs.counts, order),
-                jnp.take(bs.scores, order),
+                take(bs.counts),
+                take(bs.scores),
                 from_arena(ao),
                 jax.tree.map(from_arena, ast),
-                jnp.take(bs.sig, order),
-                jnp.take(bs.sig2, order),
+                take(bs.sig),
+                take(bs.sig2),
             )
 
+        frames = jnp.moveaxis(enc_out, 1, 0)  # (T, S, D)
         if n_valid is None:
             def time_step(b, enc_t):
                 return _step(b, enc_t), None
 
-            final, _ = jax.lax.scan(time_step, init, enc_out)
+            final, _ = jax.lax.scan(time_step, init, frames)
         else:
             def time_step(b, xs):
                 enc_t, t = xs
                 stepped = _step(b, enc_t)
-                keep = t < n_valid
+                keep = t < n_valid  # (S,)
                 return jax.tree.map(
-                    lambda new, old: jnp.where(keep, new, old), stepped, b
+                    lambda new, old: jnp.where(
+                        keep.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                    ), stepped, b
                 ), None
 
             final, _ = jax.lax.scan(
-                time_step, init, (enc_out, jnp.arange(enc_out.shape[0]))
+                time_step, init, (frames, jnp.arange(frames.shape[0]))
             )
         return final
 
@@ -326,8 +372,9 @@ class RNNTBeamSearch:
         enc_out, _ = self.model.apply(
             self.params, input, length, deterministic=True, method=self.model.transcribe
         )
-        init = self._init_beam(beam_width)
-        return self._search(enc_out[0], init, beam_width)
+        init = jax.tree.map(lambda x: x[None], self._init_beam(beam_width))
+        final = self._search(enc_out[:1], init, beam_width)
+        return jax.tree.map(lambda x: x[0], final)
 
     def infer(
         self,
@@ -346,7 +393,8 @@ class RNNTBeamSearch:
             self.params, input, length, state, deterministic=True, method=self.model.transcribe_streaming
         )
         hypo = self._init_beam(beam_width) if hypothesis is None else hypothesis
-        return self._search(enc_out[0], hypo, beam_width), state
+        final = self._search(enc_out[:1], jax.tree.map(lambda x: x[None], hypo), beam_width)
+        return jax.tree.map(lambda x: x[0], final), state
 
     # --- batched-stream API ---------------------------------------------
     def init_beams(self, beam_width: int, n_streams: int) -> Hypothesis:
@@ -364,18 +412,16 @@ class RNNTBeamSearch:
         ``forward`` asserts a batch of one and expands hypotheses in a
         Python list with a ``.cpu()`` sync per step
         (/root/reference/src/torchaudio/models/rnnt_decoder.py:226-265,330).
-        Here the per-stream search is ``jax.vmap``-ed: every join becomes an
-        (S, K, V) batched matmul on the MXU and ``lax.while_loop``'s batching
-        rule masks per-stream convergence, so results are identical to S
-        independent ``forward`` calls.
+        Here the search itself is natively batched (see :meth:`_search`):
+        every join becomes an (S, K, V) batched matmul on the MXU, and
+        per-stream convergence needs no masking, so results are identical
+        to S independent ``forward`` calls.
         """
         enc_out, enc_lens = self.model.apply(
             self.params, input, lengths, deterministic=True, method=self.model.transcribe
         )
         init = self.init_beams(beam_width, input.shape[0])
-        return jax.vmap(
-            lambda e, h, n: self._search(e, h, beam_width, n_valid=n)
-        )(enc_out, init, enc_lens)
+        return self._search(enc_out, init, beam_width, n_valid=enc_lens)
 
     def infer_batch(
         self,
@@ -400,9 +446,7 @@ class RNNTBeamSearch:
         )
         if hypotheses is None:
             hypotheses = self.init_beams(beam_width, input.shape[0])
-        final = jax.vmap(
-            lambda e, h, n: self._search(e, h, beam_width, n_valid=n)
-        )(enc_out, hypotheses, enc_lens)
+        final = self._search(enc_out, hypotheses, beam_width, n_valid=enc_lens)
         return final, state
 
     @staticmethod

@@ -261,6 +261,8 @@ def bench_rnnt_streaming_batch(sink, n_streams=128):
     """
     from audio_tpu.models.rnnt_decoder import RNNTBeamSearch
 
+    from audio_tpu.utils import cast_floating
+
     V = 4097
     model = _rnnt_base(V)
     rng = np.random.default_rng(7)
@@ -274,6 +276,10 @@ def bench_rnnt_streaming_batch(sink, n_streams=128):
     )
     jb = params["params"]["joiner"]["linear"]["bias"]
     params["params"]["joiner"]["linear"]["bias"] = jb.at[-1].add(4.0)
+    # bf16 serving: encoder/predictor/joiner matmuls in bf16, all beam score
+    # math in f32 (the decoder's _join casts log-probs to f32)
+    params = cast_floating(params, jnp.bfloat16)
+    feats = feats.astype(jnp.bfloat16)
 
     BEAM = 10
 
@@ -540,6 +546,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--band", type=int, default=16)
+    ap.add_argument("--streams", type=int, default=128)
     ap.add_argument("--only", default=None,
                     choices=[None, "wav2vec2", "streaming", "streaming_batch",
                              "train", "wav2vec2_bf16", "train_bf16",
@@ -557,7 +564,7 @@ def main():
     if args.only in (None, "streaming"):
         bench_rnnt_streaming(sink)
     if args.only in (None, "streaming_batch"):
-        bench_rnnt_streaming_batch(sink)
+        bench_rnnt_streaming_batch(sink, n_streams=args.streams)
     if args.only in (None, "train"):
         bench_rnnt_train(sink)
     if args.only in (None, "train_bf16"):

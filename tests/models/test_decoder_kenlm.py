@@ -176,14 +176,20 @@ class TestKenLMConformance:
             struct.pack_into("<Q" + payload_fmt, table, i * size, key, *payload)
         return bytes(table)
 
-    def _hand_build(self, trailing_strings=False) -> bytes:
+    def _hand_build(self, trailing_strings=False, sanity_floats_at=60) -> bytes:
         import struct
 
         out = bytearray()
-        # Sanity: 60-byte magic field, then f32 {0,1,-0.5}, u32 {1,max}, u64 1
+        # Sanity, both candidate geometries (reader sniffs either):
+        #   60: magic field padded to 60, then f32 {0,1,-0.5}, u32, u64
+        #   56: 52-byte magic + 4 alignment-pad bytes, floats at 56
         magic = b"mmap lm http://kheafield.com/code format version 5\n"
-        out += magic + b"\x00" * (60 - len(magic))
-        out += struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
+        if sanity_floats_at == 60:
+            out += magic + b"\x00" * (60 - len(magic))
+            out += struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
+        else:
+            out += magic + b"\x00" * (56 - len(magic))
+            out += struct.pack("<fffII4xQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
         assert len(out) == 88
         out += struct.pack("<B3xfIB3xI", 2, 1.5, 0, 1 if trailing_strings else 0, 0)
         out += struct.pack("<2Q", 5, 2)  # counts
@@ -213,14 +219,16 @@ class TestKenLMConformance:
 
         return _Dictionary(["foo", "bar", "baz"])  # baz is OOV
 
+    @pytest.mark.parametrize("sanity_floats_at", [60, 56])
     @pytest.mark.parametrize("trailing_strings", [False, True])
-    def test_reader_scores_hand_built_file(self, tmp_path, words, trailing_strings):
+    def test_reader_scores_hand_built_file(self, tmp_path, words, trailing_strings,
+                                           sanity_floats_at):
         import numpy as np
 
         from audio_tpu.models.decoder._native_lm import NativeNgramLM
 
         path = tmp_path / "hand.bin"
-        path.write_bytes(self._hand_build(trailing_strings))
+        path.write_bytes(self._hand_build(trailing_strings, sanity_floats_at))
         lm = NativeNgramLM(str(path), words)
         assert lm.order == 2
 
@@ -253,6 +261,50 @@ class TestKenLMConformance:
         build_binary_lm(str(arpa), str(out))
         assert out.read_bytes() == self._hand_build()
 
+
+
+    def test_corrupt_sanity_rejected(self, tmp_path, words):
+        """A file whose Sanity reference values match NEITHER geometry must
+        fail loudly (the reader's load-time tie-break doubles as an
+        integrity check)."""
+        from audio_tpu.models.decoder._native_lm import NativeNgramLM
+
+        blob = bytearray(self._hand_build())
+        blob[56:72] = b"\xff" * 16  # clobber both candidate float blocks
+        path = tmp_path / "corrupt.bin"
+        path.write_bytes(bytes(blob))
+        with pytest.raises(Exception, match="[Ss]anity|geometry|corrupt"):
+            NativeNgramLM(str(path), words)
+
+    def test_writer_geometries_decode_identically(self, tmp_path, words):
+        """build_binary_lm(sanity_floats_at=56) and the default 60 produce
+        binaries that score identically through the native reader."""
+        import numpy as np
+
+        from audio_tpu.models.decoder._kenlm_io import build_binary_lm
+        from audio_tpu.models.decoder._native_lm import NativeNgramLM
+
+        arpa = tmp_path / "g.arpa"
+        arpa.write_text(
+            "\\data\\\nngram 1=5\nngram 2=2\n\n"
+            "\\1-grams:\n-2.2\t<unk>\t0.0\n-3.0\t<s>\t-0.4\n"
+            "-1.5\t</s>\t0.0\n-0.8\tfoo\t-0.3\n-1.2\tbar\t0.0\n\n"
+            "\\2-grams:\n-0.3\t<s> foo\n-0.5\tfoo bar\n\n\\end\\\n"
+        )
+        scores = []
+        for off in (60, 56):
+            out = tmp_path / f"g{off}.bin"
+            build_binary_lm(str(arpa), str(out), sanity_floats_at=off)
+            lm = NativeNgramLM(str(out), words)
+            s = lm.start(False)
+            run = []
+            for tok in (0, 1, 0, 2):
+                s, got = lm.score(s, tok)
+                run.append(got)
+            _, fin = lm.finish(s)
+            run.append(fin)
+            scores.append(run)
+        np.testing.assert_array_equal(np.asarray(scores[0]), np.asarray(scores[1]))
 
 class TestNativeLMDirect:
     """LM-level checks straight through the CTCDecoderLM interface."""
@@ -295,3 +347,4 @@ class TestNativeLMDirect:
                 ta += s1
                 tb += s2
             assert abs(ta - tb) < 1e-5, seq
+

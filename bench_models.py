@@ -248,7 +248,7 @@ def bench_rnnt_streaming(sink):
     }, sink)
 
 
-def bench_rnnt_streaming_batch(sink, n_streams=128):
+def bench_rnnt_streaming_batch(sink, n_streams=128, smt=10, expansion="exact"):
     """N concurrent streaming sessions per chip, ONE program per segment tick.
 
     ``RNNTBeamSearch.infer_batch`` vmaps the whole per-frame beam expansion
@@ -284,8 +284,8 @@ def bench_rnnt_streaming_batch(sink, n_streams=128):
     BEAM = 10
 
     def _decoder(params):
-        return RNNTBeamSearch(model, params, blank=V - 1, step_max_tokens=10,
-                              max_tokens=200)
+        return RNNTBeamSearch(model, params, blank=V - 1, step_max_tokens=smt,
+                              max_tokens=200, expansion=expansion)
 
     def tick(params, feats, hypos, state):
         return _decoder(params).infer_batch(feats, lengths, BEAM, state=state,
@@ -313,8 +313,9 @@ def bench_rnnt_streaming_batch(sink, n_streams=128):
     w = timed(chain, lambda i: (params, feats * (1.0 + 1e-6 * (i + 2)), hypos0, state0)) / K
     mfu = fl / w / peak_flops() if fl else None
     streams_rtf01 = S * SEG_SECONDS * 0.1 / w
+    suffix = ("" if smt == 10 else f"_smt{smt}") + ("" if expansion == "exact" else "_approx")
     emit({
-        "metric": "streaming_streams_per_chip_rtf0.1",
+        "metric": f"streaming_streams_per_chip_rtf0.1{suffix}",
         "value": round(streams_rtf01, 1),
         "unit": f"concurrent streaming beam-10 sessions at RTF<=0.1 ({S} batched)",
         "detail": {
@@ -547,6 +548,11 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--band", type=int, default=16)
     ap.add_argument("--streams", type=int, default=128)
+    ap.add_argument("--expansion", default="exact", choices=("exact", "approx"))
+    ap.add_argument("--smt", type=int, default=10,
+                    help="streaming bench step_max_tokens (serving knob: 4 "
+                         "allows 100 emitted tokens/s per stream, far above "
+                         "real speech; reference default is 100)")
     ap.add_argument("--only", default=None,
                     choices=[None, "wav2vec2", "streaming", "streaming_batch",
                              "train", "wav2vec2_bf16", "train_bf16",
@@ -564,7 +570,8 @@ def main():
     if args.only in (None, "streaming"):
         bench_rnnt_streaming(sink)
     if args.only in (None, "streaming_batch"):
-        bench_rnnt_streaming_batch(sink, n_streams=args.streams)
+        bench_rnnt_streaming_batch(sink, n_streams=args.streams, smt=args.smt,
+                                   expansion=args.expansion)
     if args.only in (None, "train"):
         bench_rnnt_train(sink)
     if args.only in (None, "train_bf16"):

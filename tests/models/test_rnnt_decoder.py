@@ -79,6 +79,47 @@ class TestRNNTBeamSearch:
         assert j_top == list(t_top), (j_top, t_top)
         np.testing.assert_allclose(float(j_beam.scores[0]), t_score, atol=1e-3)
 
+    @pytest.mark.parametrize("seed", range(2))
+    def test_top1_matches_reference_smt4(self, ref, ref_decoder, seed):
+        """step_max_tokens=4 — the serving configuration the streaming bench
+        uses — is semantics-exact vs the reference at the same setting."""
+        torch.manual_seed(3)
+        tmodel = ref.emformer_rnnt_model(**CFG)
+        tmodel.eval()
+        params = {"params": import_rnnt_state_dict(
+            {k: v.numpy() for k, v in tmodel.state_dict().items()})}
+        jmodel = emformer_rnnt_model(**CFG)
+        blank = CFG["num_symbols"] - 1
+        t_dec = ref_decoder.RNNTBeamSearch(tmodel, blank=blank, step_max_tokens=4)
+        j_dec = RNNTBeamSearch(jmodel, params, blank=blank, step_max_tokens=4,
+                               max_tokens=64)
+        rng = np.random.default_rng(100 + seed)
+        t_len = CFG["segment_length"] * 2 + CFG["right_context_length"]
+        x = rng.standard_normal((t_len, CFG["input_dim"])).astype(np.float32)
+        with torch.no_grad():
+            t_hypos = t_dec(torch.from_numpy(x), torch.tensor(t_len), 4)
+        j_beam = j_dec.forward(jnp.asarray(x), jnp.asarray(t_len), 4)
+        assert RNNTBeamSearch.hypo_tokens(j_beam, 0) == list(t_hypos[0][0][1:])
+        np.testing.assert_allclose(float(j_beam.scores[0]), t_hypos[0][3], atol=1e-3)
+
+    def test_static_expansion_matches_while_loop(self, decoders):
+        """The unrolled inner loop (serving config) is result-identical to
+        the early-exit while_loop: an empty a-set contributes no-op merges."""
+        _, j_dec, blank = decoders
+        rng = np.random.default_rng(11)
+        t_len = CFG["segment_length"] * 2 + CFG["right_context_length"]
+        x = rng.standard_normal((t_len, CFG["input_dim"])).astype(np.float32)
+        beam_dyn = j_dec.forward(jnp.asarray(x), jnp.asarray(t_len), 4)
+        j_dec.static_expansion = True
+        try:
+            beam_sta = j_dec.forward(jnp.asarray(x), jnp.asarray(t_len), 4)
+        finally:
+            j_dec.static_expansion = False
+        for a, b in zip(jax.tree_util.tree_leaves(beam_dyn._replace(pred_state=None)),
+                        jax.tree_util.tree_leaves(beam_sta._replace(pred_state=None))):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32), atol=1e-5)
+
     def test_streaming_infer_runs(self, decoders):
         _, j_dec, _ = decoders
         rng = np.random.default_rng(5)

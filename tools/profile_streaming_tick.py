@@ -37,6 +37,8 @@ def timed(fn, argmaker, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=128)
+    ap.add_argument("--beam", type=int, default=10)
+    ap.add_argument("--smt", type=int, default=10)
     ap.add_argument("--parts", default="search,noarena,noexpand")
     args = ap.parse_args()
     parts = args.parts.split(",")
@@ -44,7 +46,7 @@ def main():
     from audio_tpu.models.rnnt import emformer_rnnt_base
     from audio_tpu.models import rnnt_decoder as RD
 
-    V, S, BEAM = 4097, args.streams, 10
+    V, S, BEAM = 4097, args.streams, args.beam
     model = emformer_rnnt_base(num_symbols=V)
     rng = np.random.default_rng(7)
     feats = jnp.asarray(rng.standard_normal((S, 20, 80)).astype(np.float32))
@@ -57,7 +59,7 @@ def main():
     params["params"]["joiner"]["linear"]["bias"] = jb.at[-1].add(4.0)
 
     def decoder(params):
-        return RD.RNNTBeamSearch(model, params, blank=V - 1, step_max_tokens=10,
+        return RD.RNNTBeamSearch(model, params, blank=V - 1, step_max_tokens=args.smt,
                                  max_tokens=200)
 
     # precompute a 5-frame encoder segment output per stream

@@ -82,7 +82,10 @@ def _activation(name: str):
     if name == "relu":
         return nn.relu
     if name == "gelu":
-        return lambda x: nn.gelu(x, approximate=False)
+        # exact erf in full precision; tanh under bf16/f16 (deviation below
+        # the dtype's quantization noise; erf is pure VPU time — see
+        # wav2vec2/components.py:_gelu_exact_f32)
+        return lambda x: nn.gelu(x, approximate=x.dtype in (jnp.bfloat16, jnp.float16))
     if name == "silu":
         return nn.silu
     raise ValueError(f"Unsupported activation {name}")

@@ -187,10 +187,21 @@ class RNNTBeamSearch:
         Sequence identity is (count, two rolling uint32 fingerprints) instead
         of an elementwise (Ka, Kb, Lmax) token comparison — O(Ka*Kb) work per
         inner step rather than O(Ka*Kb*Lmax); a false merge needs a same-
-        length double collision (~2^-64 per candidate pair).  New sequences
-        enter with ``ptr = iter_idx * Ka + slot`` pointing at the a-set arena
-        snapshot; merged entries keep their ptr (same token sequence ==> same
-        predictor state, so either source is valid).
+        length double collision (~2^-64 per candidate pair).
+
+        The b set is BLOCK-PARTITIONED by iteration: slots
+        ``[iter_idx*Ka, (iter_idx+1)*Ka)`` belong to this iteration, so
+        unmatched candidates are written there with one
+        ``dynamic_update_slice`` and no compaction is ever needed — capacity
+        ``beam*(step_max_tokens+1)`` holds every iteration's Ka candidates by
+        construction.  (The previous design concatenated candidates onto the
+        pool and re-sorted with ``lax.top_k(k=capacity)`` every inner
+        iteration; that top_k alone was ~36% of the search tick — top_k cost
+        scales with rows x k, and k was 50.)  New sequences enter with
+        ``ptr = iter_idx * Ka + slot`` pointing at the a-set arena snapshot;
+        merged entries keep their ptr (same token sequence ==> same
+        predictor state, so either source is valid).  Slots are NOT kept
+        sorted; consumers take an explicit top_k of what they need.
         """
         n_s, ka = a.counts.shape
         matches = (
@@ -203,21 +214,21 @@ class RNNTBeamSearch:
         merged_scores = jnp.logaddexp(b.scores, jax.nn.logsumexp(contrib, axis=1))
 
         unmatched = (~matches.any(axis=2)) & (a.counts >= 0) & (blank_scores > _NEG_INF / 2)
-        cand_scores = jnp.where(unmatched, blank_scores, _NEG_INF)
-
-        new_ptr = jnp.broadcast_to(
+        blk_counts = jnp.where(unmatched, a.counts, -1)
+        blk_scores = jnp.where(unmatched, blank_scores, _NEG_INF)
+        blk_ptr = jnp.broadcast_to(
             iter_idx * ka + jnp.arange(ka, dtype=jnp.int32), (n_s, ka)
         )
-        pool_scores = jnp.concatenate([merged_scores, cand_scores], axis=1)
-        pool_counts = jnp.concatenate([b.counts, a.counts], axis=1)
-        pool_sig = jnp.concatenate([b.sig, a.sig], axis=1)
-        pool_sig2 = jnp.concatenate([b.sig2, a.sig2], axis=1)
-        pool_ptr = jnp.concatenate([b.ptr, new_ptr], axis=1)
-
-        top_scores, top_idx = jax.lax.top_k(pool_scores, b.counts.shape[1])
-        take = lambda x: jnp.take_along_axis(x, top_idx, axis=1)  # noqa: E731
-        new_counts = jnp.where(top_scores > _NEG_INF / 2, take(pool_counts), -1)
-        return _BSet(new_counts, top_scores, take(pool_sig), take(pool_sig2), take(pool_ptr))
+        start = iter_idx * ka
+        upd = lambda arr, blk: jax.lax.dynamic_update_slice(  # noqa: E731
+            arr, blk.astype(arr.dtype), (jnp.int32(0), start))
+        return _BSet(
+            upd(b.counts, blk_counts),
+            upd(merged_scores, blk_scores),
+            upd(b.sig, a.sig),
+            upd(b.sig2, a.sig2),
+            upd(b.ptr, blk_ptr),
+        )
 
     def _expand_a(self, a: Hypothesis, raw, lse, b_kth_score, beam_width: int) -> Hypothesis:
         """Non-blank top-k extensions that beat the k-th best b score (batched).
@@ -348,10 +359,12 @@ class RNNTBeamSearch:
                 bs = self._merge_blank_into_b(bs, a, blank_scores, i)
                 # reference: candidates must beat the beam_width-th best RAW
                 # b score; -inf while fewer than beam_width b hypos exist.
-                # bs.scores comes out of the merge's top_k already sorted
-                # descending, so the k-th best is just column k-1.
+                # b slots are unsorted (block-partitioned by iteration), so
+                # take an explicit k=beam_width top_k — much cheaper than the
+                # old k=capacity compaction sort.
                 n_alive_b = jnp.sum(bs.counts >= 0, axis=1)
-                kth = jnp.where(n_alive_b >= beam_width, bs.scores[:, beam_width - 1], _NEG_INF)
+                top_b, _ = jax.lax.top_k(bs.scores, beam_width)
+                kth = jnp.where(n_alive_b >= beam_width, top_b[:, -1], _NEG_INF)
                 a = self._expand_a(a, raw, lse, kth, beam_width)
                 return i + 1, a, bs, at, ao, ast
 

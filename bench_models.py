@@ -362,7 +362,10 @@ def bench_rnnt_train(sink, dtype="f32", batch=8):
         jax.random.PRNGKey(0), feats[:1], feat_lens[:1], targets[:1, :1],
         jnp.ones((1,), jnp.int32), deterministic=True,
     )["params"]
-    tx = optax.adamw(1e-3, weight_decay=1e-6)
+    # flatten: one fused flat-vector adam update instead of ~300 per-tensor
+    # kernels (the per-tensor update chain measured 7.1 ms standalone at
+    # B=32 — mostly launch overhead; tools/profile_full_step.py)
+    tx = optax.flatten(optax.adamw(1e-3, weight_decay=1e-6))
     opt_state = tx.init(params)
 
     def loss_fn(params, key):
@@ -461,7 +464,7 @@ def bench_rnnt_train_pruned(sink, dtype="bf16", batch=64, band=16):
         "am": jax.random.normal(k1, (D, V), jnp.float32) * (D ** -0.5),
         "lm": jax.random.normal(k2, (D, V), jnp.float32) * (D ** -0.5),
     }
-    tx = optax.adamw(1e-3, weight_decay=1e-6)
+    tx = optax.flatten(optax.adamw(1e-3, weight_decay=1e-6))  # fused flat update
     opt_state = tx.init(params)
 
     def loss_fn(params, key):
@@ -556,8 +559,12 @@ def main():
     ap.add_argument("--only", default=None,
                     choices=[None, "wav2vec2", "streaming", "streaming_batch",
                              "train", "wav2vec2_bf16", "train_bf16",
-                             "train_bf16_b32", "train_pruned_bf16_b64",
+                             "train_bf16_b32", "train_bf16_custom",
+                             "train_pruned_bf16_custom",
+                             "train_pruned_bf16_b64",
                              "train_pruned_bf16_b128", "train_pruned_bf16_b32"])
+    ap.add_argument("--batch", type=int, default=32,
+                    help="batch for the *_custom train variants")
     args = ap.parse_args()
     sink = []
     print(json.dumps({"device": str(jax.devices()[0]),
@@ -578,6 +585,11 @@ def main():
         bench_rnnt_train(sink, dtype="bf16")
     if args.only in (None, "train_bf16_b32"):
         bench_rnnt_train(sink, dtype="bf16", batch=32)
+    if args.only == "train_bf16_custom":
+        bench_rnnt_train(sink, dtype="bf16", batch=args.batch)
+    if args.only == "train_pruned_bf16_custom":
+        bench_rnnt_train_pruned(sink, dtype="bf16", batch=args.batch,
+                                band=args.band)
     if args.only == "train_pruned_bf16_b32":
         bench_rnnt_train_pruned(sink, dtype="bf16", batch=32, band=args.band)
     if args.only in (None, "train_pruned_bf16_b64"):

@@ -154,30 +154,6 @@ def rnnt_loss_from_logprobs(
     return -ll, alphas, betas
 
 
-def _as_logprobs(logits, fused_log_softmax):
-    """Cast-compute: the DP always runs in f32 even for bf16/f16 logits.
-
-    Mirrors the reference's half-precision handling (fp16 in, fp32 compute,
-    /root/reference/src/libtorchaudio/rnnt/cpu/cpu_kernels.h CAST/ACC
-    dtypes); the saved residual stays in the input dtype, so bf16 training
-    keeps the (B,T,U,V) tensor half-sized in HBM while the log-semiring
-    scans stay accurate.
-    """
-    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
-    return jax.nn.log_softmax(x, axis=-1) if fused_log_softmax else x
-
-
-def _gather_lps(log_probs, targets, blank):
-    """Split (B,T,U+1,V) log-probs into blank (B,T,U+1) and label (B,T,U) parts."""
-    blank_lp = log_probs[..., blank]
-    u = targets.shape[1]
-    label_idx = targets[:, None, :, None]  # (B,1,U,1)
-    label_lp = jnp.take_along_axis(
-        log_probs[:, :, :u, :], jnp.broadcast_to(label_idx, log_probs[:, :, :u, :1].shape), axis=-1
-    )[..., 0]
-    return blank_lp, label_lp
-
-
 def _gather_lps_lazy(logits, targets, blank, fused_log_softmax):
     """Lazy log-softmax gather: (blank_lp, label_lp, lse) without a full
     (B,T,U+1,V) log_probs tensor.
@@ -186,9 +162,14 @@ def _gather_lps_lazy(logits, targets, blank, fused_log_softmax):
     — XLA reads the lattice ONCE for the logsumexp reduction and once for
     the two slice gathers, instead of materializing a normalized copy.  The
     (B,T,U+1) f32 ``lse`` is returned so the custom-VJP backward can reuse
-    it (saving the full-lattice reduction a recompute would cost).  Math in
-    f32 regardless of logits dtype (cast-compute; reference fp16 handling:
-    /root/reference/src/libtorchaudio/rnnt/cpu/cpu_kernels.h).
+    it (saving the full-lattice reduction a recompute would cost); with
+    ``fused_log_softmax=False`` the inputs are already log-probs, so lse is
+    ``None`` and no residual is saved.  Math in f32 regardless of logits
+    dtype — cast-compute, mirroring the reference's half-precision handling
+    (fp16 in, fp32 compute, CAST/ACC dtypes in
+    /root/reference/src/libtorchaudio/rnnt/cpu/cpu_kernels.h); the saved
+    residual stays in the input dtype, so bf16 training keeps the (B,T,U,V)
+    tensor half-sized in HBM while the log-semiring scans stay accurate.
     """
     x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     u = targets.shape[1]
@@ -198,8 +179,7 @@ def _gather_lps_lazy(logits, targets, blank, fused_log_softmax):
         x[:, :, :u, :], jnp.broadcast_to(label_idx, x[:, :, :u, :1].shape), axis=-1
     )[..., 0]
     if not fused_log_softmax:
-        lse = jnp.zeros(x.shape[:-1], x.dtype)
-        return blank_raw, label_raw, lse
+        return blank_raw, label_raw, None
     lse = jax.scipy.special.logsumexp(x, axis=-1)  # (B,T,U+1)
     return blank_raw - lse, label_raw - lse[:, :, :u], lse
 
@@ -273,12 +253,16 @@ def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
     x = logits.astype(acc_dtype)
     # blank/label log-probs from the SAVED forward lse — no full-lattice
     # logsumexp recompute in the backward (lse is (B,T,U+1) f32, ~V times
-    # smaller than the lattice)
-    blank_lp = x[..., blank] - lse
+    # smaller than the lattice); lse is None when the inputs are already
+    # log-probs (fused_log_softmax=False)
+    blank_lp = x[..., blank]
     label_idx = targets[:, None, :, None]
     label_lp = jnp.take_along_axis(
         x[:, :, :u, :], jnp.broadcast_to(label_idx, x[:, :, :u, :1].shape), axis=-1
-    )[..., 0] - lse[:, :, :u]
+    )[..., 0]
+    if fused_log_softmax:
+        blank_lp = blank_lp - lse
+        label_lp = label_lp - lse[:, :, :u]
     g_blank, g_label = occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
 
     # Gradient wrt log_probs as ONE fused broadcast expression over the

@@ -76,7 +76,7 @@ class TestBf16Inference:
 
 
 class TestRnntLossCastCompute:
-    """bf16 logits run the DP in f32 (ops/rnnt.py _as_logprobs) and return
+    """bf16 logits run the DP in f32 (ops/rnnt.py _gather_lps_lazy) and return
     bf16 gradients; costs must track the f32 path closely because the
     log-semiring scans never see bf16."""
 

@@ -3,10 +3,14 @@
 Same method as profile_pruned_step.py: value_and_grad of each component in
 a fori-chain, against the bench's whole-step number for a closing check.
 
-  encoder      transcribe only (dropout, rbg keys)
-  predictor    predict only
-  head         full joiner + rnnt_loss on precomputed (enc, pred) inputs
-  optimizer    adamw update on cached grads
+  encoder        transcribe only (dropout, rbg keys)
+  predictor      predict only
+  head           full joiner + rnnt_loss on precomputed (enc, pred) inputs
+  joiner         joiner matmul alone on precomputed (enc, pred) inputs
+  loss           rnnt_loss alone on a precomputed logits lattice
+  optimizer      per-tensor adamw update on cached grads
+  optimizer_flat optax.flatten(adamw) — the fused flat-vector update the
+                 bench actually runs (bench_models.py)
 
 Usage: timeout 3600 python tools/profile_full_step.py [--batch 32]
 """
@@ -164,8 +168,14 @@ def main():
         out["loss_grad_ms"] = round(w * 1e3, 1)
         print(json.dumps({"loss_grad_ms": out["loss_grad_ms"]}), flush=True)
 
-    if "optimizer" in parts:
-        tx = optax.adamw(1e-3, weight_decay=1e-6)
+    for part, make_tx in (
+        ("optimizer", lambda: optax.adamw(1e-3, weight_decay=1e-6)),
+        # the fused flat-vector update bench_models.py actually runs
+        ("optimizer_flat", lambda: optax.flatten(optax.adamw(1e-3, weight_decay=1e-6))),
+    ):
+        if part not in parts:
+            continue
+        tx = make_tx()
         opt_state = tx.init(params)
         g0 = jax.tree.map(lambda x: x * 1e-3, params)
 
@@ -175,8 +185,8 @@ def main():
         ch, K = chainify(opt_step)
         w = timed(ch, lambda i: (jax.tree.map(lambda x: x * (1 + 1e-6 * (i + 2)), params),
                                  opt_state)) / K
-        out["optimizer_ms"] = round(w * 1e3, 1)
-        print(json.dumps({"optimizer_ms": out["optimizer_ms"]}), flush=True)
+        out[f"{part}_ms"] = round(w * 1e3, 1)
+        print(json.dumps({f"{part}_ms": out[f"{part}_ms"]}), flush=True)
 
     print(json.dumps({"profile": out, "batch": B}), flush=True)
 

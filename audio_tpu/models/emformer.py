@@ -20,6 +20,7 @@ TPU-native design differences (behavior preserved):
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -27,7 +28,38 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from audio_tpu.ops.pallas_attention import (
+    emformer_attention,
+    fused_attention_supported,
+)
+
 __all__ = ["Emformer", "import_emformer_state_dict"]
+
+
+def _fused_attention_mode() -> str:
+    """AUDIO_TPU_FUSED_ATTENTION: "1" (default, TPU train shapes), "0"
+    (always einsum), "interpret" (force the kernel in interpreter mode on
+    any backend — CPU equivalence tests)."""
+    return os.environ.get("AUDIO_TPU_FUSED_ATTENTION", "1")
+
+
+def _use_fused_attention(b: int, h: int, tq: int, tk: int, dh: int) -> bool:
+    """Route the training-path shapes to the fused Pallas attention kernel.
+
+    The kernel wins where the (B, H, Tq, Tk) score tensor is the dominant
+    HBM traffic (training: Tq=Tk=O(segments × segment)); the streaming-infer
+    shapes (Tq = segment + rc ≈ 5) are below the per-tile overhead knee and
+    stay on the einsum path.  CPU always uses einsum (interpret mode is for
+    tests only).
+    """
+    mode = _fused_attention_mode()
+    if mode == "0":
+        return False
+    if mode == "interpret":
+        return fused_attention_supported(b, h, tq, tk, dh)
+    if jax.default_backend() in ("cpu",):
+        return False
+    return tq >= 32 and tk >= 32 and fused_attention_supported(b, h, tq, tk, dh)
 
 
 def import_emformer_state_dict(state_dict, prefix: str = "emformer_layers") -> dict:
@@ -135,24 +167,40 @@ class _EmformerAttention(nn.Module):
         self.emb_to_query = nn.Dense(self.input_dim, kernel_init=kernel_init, name="emb_to_query")
         self.out_proj = nn.Dense(self.input_dim, name="out_proj")
 
-    def _attend(self, query, key, value, mask_bias):
-        """query (Tq, B, D), key/value (Tk, B, D), mask_bias (B, Tq, Tk) or (Tq, Tk)."""
+    def _attend(self, query, key, value, mask2d, key_bias):
+        """query (Tq, B, D), key/value (Tk, B, D), mask2d (Tq, Tk) shared
+        additive mask, key_bias (B, Tk) per-batch additive key-padding bias.
+
+        The mask stays in its two factors so the fused kernel never builds
+        the (B, Tq, Tk) combined bias; the einsum fallback recombines them
+        by broadcasting (bit-identical math to the pre-split formulation).
+        """
         tq, b, _ = query.shape
         tk = key.shape[0]
         h = self.num_heads
         dh = self.input_dim // h
         scaling = dh**-0.5
+        if _use_fused_attention(b, h, tq, tk, dh):
+            # (T, B, D) -> (B, H, T, dh) tiles for the per-(batch, head)
+            # VMEM-resident softmax(QKᵀ+bias)V (ops/pallas_attention.py)
+            q = (query * scaling).reshape(tq, b, h, dh).transpose(1, 2, 0, 3)
+            k = key.reshape(tk, b, h, dh).transpose(1, 2, 0, 3)
+            v = value.reshape(tk, b, h, dh).transpose(1, 2, 0, 3)
+            attn = emformer_attention(
+                q, k, v, mask2d.astype(jnp.float32), key_bias.astype(jnp.float32),
+                _fused_attention_mode() == "interpret",
+            )
+            return attn.transpose(2, 0, 1, 3).reshape(tq, b, self.input_dim)
         q = (query * scaling).reshape(tq, b, h, dh)
         k = key.reshape(tk, b, h, dh)
         v = value.reshape(tk, b, h, dh)
         weights = jnp.einsum("qbhd,kbhd->bhqk", q, k)
-        if mask_bias is not None:
-            # f32 bias also promotes the logits, which is where softmax
-            # stability wants f32 anyway
-            if mask_bias.ndim == 2:
-                weights = weights + mask_bias[None, None]
-            else:
-                weights = weights + mask_bias[:, None]
+        # f32 bias also promotes the logits, which is where softmax
+        # stability wants f32 anyway
+        weights = (
+            weights + mask2d.astype(jnp.float32)[None, None]
+            + key_bias.astype(jnp.float32)[:, None, None, :]
+        )
         probs = jax.nn.softmax(weights, axis=-1)
         # cast probs back to the value dtype: without this the PV matmul and
         # every op downstream (out_proj, FFN) silently run in f32 under bf16
@@ -194,10 +242,9 @@ class _EmformerAttention(nn.Module):
         )  # (B, Tk)
         if key_extra_valid is not None:
             utt_valid = utt_valid & key_extra_valid
-        pad_bias = jnp.where(utt_valid, 0.0, self.negative_inf)[:, None, :]  # (B, 1, Tk)
-        bias = attention_mask_bias[None] + pad_bias  # (B, Tq, Tk)
+        key_bias = jnp.where(utt_valid, 0.0, self.negative_inf)  # (B, Tk)
 
-        attention = self._attend(query, key, value, bias)
+        attention = self._attend(query, key, value, attention_mask_bias, key_bias)
         output_right_context_mems = self.out_proj(attention)
 
         summary_length = summary.shape[0]

@@ -6,6 +6,7 @@ named sharding rules for the model zoo, and sharded train/infer steps built
 on ``jax.sharding`` + ``jit`` so XLA inserts ICI/DCN collectives.
 """
 
+from .decode import shard_encoder_state, shard_streams, sharded_infer_batch
 from .mesh import create_mesh, default_mesh, host_chip_mesh, init_distributed
 from .sharding import (
     batch_sharding,
@@ -20,6 +21,9 @@ from .sharding import (
 __all__ = [
     "batch_sharding",
     "create_mesh",
+    "shard_encoder_state",
+    "shard_streams",
+    "sharded_infer_batch",
     "default_mesh",
     "host_chip_mesh",
     "init_distributed",

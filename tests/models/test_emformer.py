@@ -102,6 +102,31 @@ class TestEmformerInfer:
                 np.asarray(j_out), t_out.numpy(), atol=5e-4, rtol=1e-3, err_msg=f"step {step}"
             )
 
+    def test_fused_attention_path_matches_einsum(self, ref, monkeypatch):
+        """Module-level gate for the fused Pallas attention: forward + grads
+        with AUDIO_TPU_FUSED_ATTENTION=interpret must equal the einsum path
+        (the reference math) — incl. variable lengths and the memory bank."""
+        tmodel, jmodel, params = _models(ref, max_memory_size=2)
+        rng = np.random.default_rng(5)
+        b, t = 3, 16 + CFG["right_context_length"]
+        x = jnp.asarray(rng.standard_normal((b, t, CFG["input_dim"])).astype(np.float32))
+        lengths = jnp.asarray([16, 12, 9], jnp.int32)
+
+        def loss(params, x):
+            out, _ = jmodel.apply(params, x, lengths, deterministic=True)
+            return jnp.sum(out**2), out
+
+        monkeypatch.setenv("AUDIO_TPU_FUSED_ATTENTION", "0")
+        (l0, out0), g0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(params, x)
+        monkeypatch.setenv("AUDIO_TPU_FUSED_ATTENTION", "interpret")
+        (l1, out1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(params, x)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        flat0 = jax.tree_util.tree_leaves(g0)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        for a, b_ in zip(flat1, flat0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-3)
+
     def test_infer_is_jittable(self, ref):
         _, jmodel, params = _models(ref)
         seg = CFG["segment_length"] + CFG["right_context_length"]

@@ -1,0 +1,114 @@
+"""Single-pass lattice row statistics — the RNN-T losses' V-axis reads.
+
+Both transducer losses reduce the (..., V) joiner lattice to three per-row
+scalars before any DP: the log-softmax denominator ``lse``, the blank logit,
+and the label logit.  Issued as separate XLA ops these cost far more than
+the lattice's one-read minimum: the logsumexp is a multi-pass reduction
+that materializes an f32 copy of the (bf16) lattice, and the blank/label
+column reads are 2-byte loads on a ``V``-element stride (measured ~6 ms for
+the "free" blank slice of a 1 GiB band lattice on one v5e — DRAM reads
+sub-line strides at a few percent efficiency).  The reference hides the
+same three reads inside its fused CUDA kernels
+(/root/reference/src/libtorchaudio/rnnt/gpu/gpu_transducer.h:86-211,
+``LogSumExp2D`` + in-kernel blank/label indexing).
+
+This kernel reads each lattice row tile into VMEM ONCE and emits all three
+statistics: max → exp-sum → lse on the VPU, the blank column as a static
+lane slice, and the label logit as an iota-compare masked reduction (no
+per-row gather).  Traffic = one HBM read of the lattice + three (N, 1)
+writes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["lattice_row_stats", "lattice_row_stats_reference"]
+
+
+def _row_stats_kernel(x_ref, tgt_ref, lse_ref, blank_ref, label_ref, *, blank):
+    x = x_ref[...].astype(jnp.float32)  # (RB, V)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    s = jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True)
+    lse_ref[...] = m + jnp.log(s)
+    blank_ref[...] = x[:, blank:blank + 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    label_ref[...] = jnp.sum(
+        jnp.where(lane == tgt_ref[...], x, 0.0), axis=-1, keepdims=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+def _row_stats_call(x2, tgt2, blank, interpret=False):
+    n, v = x2.shape
+    # row block: one bf16 tile + its f32 working copy ≈ 3 MB at RB=128
+    rb = 128
+    while n % rb:
+        rb //= 2
+    col = lambda: pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    lse, blank_raw, label_raw = pl.pallas_call(
+        functools.partial(_row_stats_kernel, blank=blank),
+        grid=(n // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, v), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            col(),
+        ],
+        out_specs=(col(), col(), col()),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * v, bytes_accessed=n * v * x2.dtype.itemsize,
+            transcendentals=n * v),
+        interpret=interpret,
+    )(x2, tgt2)
+    return lse[:, 0], blank_raw[:, 0], label_raw[:, 0]
+
+
+def lattice_row_stats(x, tgt, blank: int, interpret: bool = False):
+    """Per-row (lse, blank_logit, label_logit) of a logits lattice.
+
+    Args:
+        x: (..., V) logits in any float dtype (math in f32).
+        tgt: (...,) int32 label index per row (in [0, V)); rows whose label
+            is out of lattice can pass any valid index — callers mask later.
+        blank: static blank index.
+
+    Returns:
+        Three f32 arrays shaped like ``x`` without the final axis:
+        ``logsumexp(x, -1)``, ``x[..., blank]``, ``x[..., tgt]``.
+    """
+    lead = x.shape[:-1]
+    v = x.shape[-1]
+    x2 = x.reshape(-1, v)
+    tgt2 = tgt.reshape(-1, 1).astype(jnp.int32)
+    n = x2.shape[0]
+    pad = (-n) % 128
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        tgt2 = jnp.pad(tgt2, ((0, pad), (0, 0)))
+    lse, blank_raw, label_raw = _row_stats_call(x2, tgt2, blank, interpret=interpret)
+    if pad:
+        lse, blank_raw, label_raw = lse[:n], blank_raw[:n], label_raw[:n]
+    return lse.reshape(lead), blank_raw.reshape(lead), label_raw.reshape(lead)
+
+
+def lattice_row_stats_reference(x, tgt, blank: int):
+    """jnp formulation (CPU fallback / parity oracle)."""
+    xf = x.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(xf, axis=-1)
+    blank_raw = xf[..., blank]
+    label_raw = jnp.take_along_axis(xf, tgt[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return lse, blank_raw, label_raw
+
+
+def use_row_stats_kernel() -> bool:
+    """Kernel on TPU; jnp formulation elsewhere."""
+    return jax.default_backend() not in ("cpu",)

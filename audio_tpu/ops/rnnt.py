@@ -171,8 +171,20 @@ def _gather_lps_lazy(logits, targets, blank, fused_log_softmax):
     residual stays in the input dtype, so bf16 training keeps the (B,T,U,V)
     tensor half-sized in HBM while the log-semiring scans stay accurate.
     """
-    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     u = targets.shape[1]
+    acc = jnp.promote_types(logits.dtype, jnp.float32)
+    from .pallas_rnnt_lps import lattice_row_stats, use_row_stats_kernel
+
+    if fused_log_softmax and acc == jnp.float32 and use_row_stats_kernel():
+        # ONE fused lattice pass for lse + blank + label on TPU — the XLA
+        # formulation issues a multi-pass logsumexp plus two strided column
+        # reads over the full (B,T,U+1,V) lattice (see pallas_rnnt_lps.py)
+        tgt_rows = jnp.broadcast_to(
+            jnp.pad(targets, ((0, 0), (0, 1)))[:, None, :],
+            logits.shape[:-1]).astype(jnp.int32)  # (B,T,U+1); row U unused
+        lse, blank_raw, label_full = lattice_row_stats(logits, tgt_rows, blank)
+        return blank_raw - lse, (label_full - lse)[:, :, :u], lse
+    x = logits.astype(acc)
     blank_raw = x[..., blank]
     label_idx = targets[:, None, :, None]  # (B,1,U,1)
     label_raw = jnp.take_along_axis(
@@ -206,7 +218,11 @@ def rnnt_loss_core(
 def _rnnt_fwd(logits, targets, logit_lengths, target_lengths, blank, clamp, fused_log_softmax):
     blank_lp, label_lp, lse = _gather_lps_lazy(logits, targets, blank, fused_log_softmax)
     costs, alphas, betas = rnnt_loss_from_logprobs(blank_lp, label_lp, logit_lengths, target_lengths)
-    return costs, (logits, targets, logit_lengths, target_lengths, alphas, betas, lse)
+    # blank/label log-probs ride the residuals ((B,T,U+1)+(B,T,U) f32, ~V
+    # times smaller than the lattice) so the backward never re-reads the
+    # lattice's strided blank/label columns
+    return costs, (logits, targets, logit_lengths, target_lengths, alphas, betas,
+                   lse, blank_lp, label_lp)
 
 
 def occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths):
@@ -245,24 +261,11 @@ def occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_len
 
 
 def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
-    logits, targets, logit_lengths, target_lengths, alphas, betas, lse = res
+    logits, targets, logit_lengths, target_lengths, alphas, betas, lse, blank_lp, label_lp = res
     b, t_max, u1, v = logits.shape
 
     u = targets.shape[1]
     acc_dtype = jnp.promote_types(logits.dtype, jnp.float32)
-    x = logits.astype(acc_dtype)
-    # blank/label log-probs from the SAVED forward lse — no full-lattice
-    # logsumexp recompute in the backward (lse is (B,T,U+1) f32, ~V times
-    # smaller than the lattice); lse is None when the inputs are already
-    # log-probs (fused_log_softmax=False)
-    blank_lp = x[..., blank]
-    label_idx = targets[:, None, :, None]
-    label_lp = jnp.take_along_axis(
-        x[:, :, :u, :], jnp.broadcast_to(label_idx, x[:, :, :u, :1].shape), axis=-1
-    )[..., 0]
-    if fused_log_softmax:
-        blank_lp = blank_lp - lse
-        label_lp = label_lp - lse[:, :, :u]
     g_blank, g_label = occupancy_grads(blank_lp, label_lp, alphas, betas, logit_lengths, target_lengths)
 
     # Gradient wrt log_probs as ONE fused broadcast expression over the
@@ -284,7 +287,8 @@ def _rnnt_bwd(blank, clamp, fused_log_softmax, res, g):
         # chain through log_softmax: dL/dx = dL/dlp - softmax(x) * sum_v dL/dlp
         # with softmax(x) = exp(x - lse) from the saved lse
         sum_g = g_blank + g_label_p  # (B, T, U+1)
-        grad_logits = grad_lp - jnp.exp(x - lse[..., None]) * sum_g[..., None]
+        softmax = jnp.exp(logits.astype(acc_dtype) - lse[..., None])
+        grad_logits = grad_lp - softmax * sum_g[..., None]
     else:
         grad_logits = grad_lp
 

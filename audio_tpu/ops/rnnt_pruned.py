@@ -62,19 +62,29 @@ def _simple_lps(am, lm, targets, blank):
     ``am[t] + lm[u]`` evaluated at blank / targets[u], computed without ever
     forming the (B, T, U+1, V) sum: the denominator
     ``logsumexp_v(am[t,v] + lm[u,v])`` is a max-shifted exp-matmul.
+
+    This function sits ABOVE the custom-VJP boundary (``_lps_loss``), so
+    autodiff differentiates it — two TPU-specific choices keep that backward
+    scatter-free (measured as the dominant cost of the simple loss at
+    B=64): the label reads are one-hot MXU contractions whose VJPs are
+    matmuls (a ``take_along_axis`` VJP is a scatter-add over the (B, T, V)
+    tensor), and the max shifts are ``stop_gradient``-ed (their gradient
+    contributions cancel exactly, so differentiating them only buys extra
+    full-tensor mask passes).
     """
     am = am.astype(jnp.float32)
     lm = lm.astype(jnp.float32)
-    am_m = jnp.max(am, axis=-1)  # (B, T)
-    lm_m = jnp.max(lm, axis=-1)  # (B, U+1)
+    am_m = jax.lax.stop_gradient(jnp.max(am, axis=-1))  # (B, T)
+    lm_m = jax.lax.stop_gradient(jnp.max(lm, axis=-1))  # (B, U+1)
     # (B, T, U+1) = log( exp(am - am_m) @ exp(lm - lm_m)^T ) + shifts
     inner = jnp.einsum("btv,buv->btu", jnp.exp(am - am_m[..., None]), jnp.exp(lm - lm_m[..., None]))
     denom = am_m[:, :, None] + lm_m[:, None, :] + jnp.log(inner)
 
     blank_lp = am[:, :, blank][:, :, None] + lm[:, None, :, blank] - denom
     u = targets.shape[1]
-    am_y = jnp.take_along_axis(am, jnp.broadcast_to(targets[:, None, :], (am.shape[0], am.shape[1], u)), axis=2)
-    lm_y = jnp.take_along_axis(lm[:, :u, :], targets[:, :, None], axis=2)[..., 0]  # (B, U)
+    onehot = jax.nn.one_hot(targets, am.shape[-1], dtype=am.dtype)  # (B, U, V)
+    am_y = jnp.einsum("btv,buv->btu", am, onehot)  # exact: one unit coeff/row
+    lm_y = jnp.einsum("buv,buv->bu", lm[:, :u, :], onehot)
     label_lp = am_y + lm_y[:, None, :] - denom[:, :, :u]
     return blank_lp, label_lp
 
@@ -213,23 +223,34 @@ def _masked_band_lps(logits, targets, ranges, logit_lengths, target_lengths, bla
     logits: (B, T, S, V) in any float dtype.  Returns blank_lp, label_lp,
     lse — all (B, T, S) float32 — where out-of-lattice cells (u > U_b or
     t >= T_b) are _NEG_INF.  Deliberately NEVER materializes a full-band
-    f32 tensor: the log-softmax denominator is a fused f32 reduction over V
-    and blank/label are gathered from the (possibly bf16) logits before the
-    f32 cast — full-band f32 temporaries are what blow the HBM budget at
-    large batch (the whole point of pruning).
+    f32 tensor: full-band f32 temporaries are what blow the HBM budget at
+    large batch (the whole point of pruning).  On TPU the three per-row
+    lattice reads (lse, blank, label) come from ONE fused Pallas pass
+    (ops/pallas_rnnt_lps.py) — issued as XLA ops, the logsumexp
+    materializes an f32 lattice copy and the blank/label column reads are
+    2-byte loads on a V-element stride (~6 ms each for the 1 GiB B=64
+    band lattice — the dominant cost of the pruned loss before this
+    fusion).
     """
     b, t_max, s, v = logits.shape
     acc = jnp.promote_types(logits.dtype, jnp.float32)  # f32 accumulate; f64 stays f64
-    if fused_log_softmax:
-        xacc = logits.astype(acc)  # fuses into the reduction below
-        m = jax.lax.stop_gradient(jnp.max(xacc, axis=-1))
-        lse = m + jnp.log(jnp.sum(jnp.exp(xacc - m[..., None]), axis=-1))
-    else:
-        lse = jnp.zeros(logits.shape[:-1], acc)
-    blank_lp = logits[..., blank].astype(acc) - lse
     u_cnt = targets.shape[1]
     tgt_at = jax.vmap(lambda tg, r: tg[jnp.clip(r, 0, u_cnt - 1)])(targets, ranges)  # (B, T, S)
-    label_lp = jnp.take_along_axis(logits, tgt_at[..., None], axis=-1)[..., 0].astype(acc) - lse
+    from .pallas_rnnt_lps import lattice_row_stats, use_row_stats_kernel
+
+    if fused_log_softmax and acc == jnp.float32 and use_row_stats_kernel():
+        lse, blank_raw, label_raw = lattice_row_stats(logits, tgt_at, blank)
+        blank_lp = blank_raw - lse
+        label_lp = label_raw - lse
+    else:
+        if fused_log_softmax:
+            xacc = logits.astype(acc)  # fuses into the reduction below
+            m = jax.lax.stop_gradient(jnp.max(xacc, axis=-1))
+            lse = m + jnp.log(jnp.sum(jnp.exp(xacc - m[..., None]), axis=-1))
+        else:
+            lse = jnp.zeros(logits.shape[:-1], acc)
+        blank_lp = logits[..., blank].astype(acc) - lse
+        label_lp = jnp.take_along_axis(logits, tgt_at[..., None], axis=-1)[..., 0].astype(acc) - lse
 
     t_idx = jnp.arange(t_max)[None, :, None]
     t_ok = t_idx < logit_lengths[:, None, None]
@@ -371,22 +392,22 @@ def _pruned_fwd_parts(logits, targets, ranges, logit_lengths, target_lengths, bl
 
 
 def _pruned_vjp_fwd(logits, targets, ranges, logit_lengths, target_lengths, blank, clamp, fused_log_softmax):
-    costs, _, _, lse, *_, alphas, betas = _pruned_fwd_parts(
+    costs, blank_lp, label_lp, lse, tgt_at, *_, alphas, betas = _pruned_fwd_parts(
         logits, targets, ranges, logit_lengths, target_lengths, blank, fused_log_softmax
     )
-    return costs, (logits, targets, ranges, logit_lengths, target_lengths, lse, alphas, betas)
+    # blank/label log-probs (masked) and tgt_at ride the residuals — (B,T,S)
+    # each, ~V times smaller than the lattice — so the backward never
+    # re-reads the lattice's strided blank/label columns
+    return costs, (logits, ranges, logit_lengths, target_lengths, lse,
+                   blank_lp, label_lp, tgt_at, alphas, betas)
 
 
 def _pruned_vjp_bwd(blank, clamp, fused_log_softmax, res, g):
-    logits, targets, ranges, logit_lengths, target_lengths, lse, alphas, betas = res
+    logits, ranges, logit_lengths, target_lengths, lse, blank_lp, label_lp, tgt_at, alphas, betas = res
     b, t_max, s, v = logits.shape
     ll = betas[:, 0, 0][:, None, None]
 
     acc = jnp.promote_types(logits.dtype, jnp.float32)
-    u_cnt = targets.shape[1]
-    tgt_at = jax.vmap(lambda tg, r: tg[jnp.clip(r, 0, u_cnt - 1)])(targets, ranges)  # (B, T, S)
-    blank_lp = logits[..., blank].astype(acc) - lse
-    label_lp = jnp.take_along_axis(logits, tgt_at[..., None], axis=-1)[..., 0].astype(acc) - lse
     t_idx = jnp.arange(t_max)[None, :, None]
     t_ok = t_idx < logit_lengths[:, None, None]
     cell_ok = t_ok & (ranges <= target_lengths[:, None, None])

@@ -65,6 +65,34 @@ def flops_of(jitted, *args) -> float:
         return 0.0
 
 
+def flops_of_reference(step_fn, *args) -> float:
+    """Cost-analysis FLOPs of the kernel-free twin of ``step_fn``.
+
+    Pallas custom calls are opaque to XLA's cost analysis, so a step using
+    the fused attention / lattice row-stats kernels under-counts its FLOPs
+    (and would overstate a speedup as an MFU drop).  This compiles the SAME
+    math with the kernels disabled (einsum attention, XLA lse/gathers) and
+    returns that program's FLOPs — the identical accounting basis used for
+    the r3/r4 numbers, which predate the kernels.
+    """
+    import os
+
+    import audio_tpu.ops.pallas_rnnt_lps as _PL
+
+    old_env = os.environ.get("AUDIO_TPU_FUSED_ATTENTION")
+    old_fn = _PL.use_row_stats_kernel
+    os.environ["AUDIO_TPU_FUSED_ATTENTION"] = "0"
+    _PL.use_row_stats_kernel = lambda: False
+    try:
+        return flops_of(jax.jit(step_fn), *args)
+    finally:
+        _PL.use_row_stats_kernel = old_fn
+        if old_env is None:
+            os.environ.pop("AUDIO_TPU_FUSED_ATTENTION", None)
+        else:
+            os.environ["AUDIO_TPU_FUSED_ATTENTION"] = old_env
+
+
 def timed(fn, argmaker, reps: int = 5) -> float:
     """Median wall of ``fn(*argmaker(i))``.
 
@@ -387,11 +415,12 @@ def bench_rnnt_train(sink, dtype="f32", batch=8):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    single = jax.jit(train_step)
     # rbg dropout keys: the TPU-native generator (threefry dropout mask
     # generation measured +43 ms/step at B=64 — tools/profile_pruned_parts.py)
     key = jax.random.key(3, impl="rbg")
-    fl = flops_of(single, params, opt_state, key)
+    # FLOPs from the kernel-free twin (Pallas custom calls are invisible to
+    # cost analysis — see flops_of_reference)
+    fl = flops_of_reference(train_step, params, opt_state, key)
 
     K = 4
 
@@ -504,11 +533,10 @@ def bench_rnnt_train_pruned(sink, dtype="bf16", batch=64, band=16):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    single = jax.jit(train_step)
-    # rbg dropout keys: the TPU-native generator (threefry dropout mask
-    # generation measured +43 ms/step at B=64 — tools/profile_pruned_parts.py)
     key = jax.random.key(3, impl="rbg")
-    fl = flops_of(single, params, opt_state, key)
+    # FLOPs from the kernel-free twin (Pallas custom calls are invisible to
+    # cost analysis — see flops_of_reference); rbg dropout keys as above
+    fl = flops_of_reference(train_step, params, opt_state, key)
 
     K = 4
 

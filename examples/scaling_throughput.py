@@ -72,13 +72,13 @@ def build_chain(sr: int):
     return chain
 
 
-def measure(n_devices: int, per_device_batch: int, iters: int, sr: int, seconds: float):
+def measure(n_devices: int, per_device_batch: int, iters: int, sr: int, seconds: float,
+            workload: str = "dsp"):
     devices = jax.devices()[:n_devices]
     mesh = create_mesh(dp=n_devices, tp=1, devices=devices)
     data_sh = NamedSharding(mesh, P("dp", None))
 
     b = per_device_batch * n_devices
-    t = int(sr * seconds)
     rng = np.random.default_rng(0)
 
     def gput(x, sharding):
@@ -86,6 +86,12 @@ def measure(n_devices: int, per_device_batch: int, iters: int, sr: int, seconds:
         # where each process materializes only its addressable shards
         return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
+    if workload == "decode":
+        return _measure_decode(mesh, gput, b, iters)
+    if workload == "train":
+        return _measure_train(mesh, gput, b, iters)
+
+    t = int(sr * seconds)
     wav = gput(rng.standard_normal((b, t)).astype(np.float32) * 0.1, data_sh)
     targets = gput(rng.integers(1, 32, size=(b, 50)).astype(np.int32), data_sh)
 
@@ -110,6 +116,126 @@ def measure(n_devices: int, per_device_batch: int, iters: int, sr: int, seconds:
     return b * seconds / w  # audio seconds per wall second
 
 
+def _tiny_rnnt():
+    from audio_tpu.models.rnnt import emformer_rnnt_model
+
+    return emformer_rnnt_model(
+        input_dim=16, encoding_dim=32, num_symbols=64, segment_length=8,
+        right_context_length=2, time_reduction_input_dim=16,
+        time_reduction_stride=2, transformer_num_heads=2, transformer_ffn_dim=64,
+        transformer_num_layers=2, transformer_dropout=0.0,
+        transformer_activation="gelu", transformer_left_context_length=8,
+        transformer_max_memory_size=0,
+        transformer_weight_init_scale_strategy="depthwise",
+        transformer_tanh_on_mem=True, symbol_embedding_dim=16, num_lstm_layers=2,
+        lstm_layer_norm=True, lstm_layer_norm_epsilon=1e-3, lstm_dropout=0.0)
+
+
+def _measure_decode(mesh, gput, n_streams, iters):
+    """Streaming beam-search ticks with the stream axis over dp — BASELINE
+    config 5's workload (the reference's decode loop is single-utterance and
+    host-synced, /root/reference/src/torchaudio/models/rnnt_decoder.py:226-265).
+    Returns decoded audio seconds per wall second (0.16 s per segment tick).
+    """
+    from jax.sharding import PartitionSpec as P2
+
+    from audio_tpu.models.rnnt_decoder import RNNTBeamSearch
+    from audio_tpu.parallel import shard_encoder_state, shard_streams
+
+    SEG_SECONDS, SEG, BEAM = 0.16, 10, 4
+    model = _tiny_rnnt()
+    rng = np.random.default_rng(3)
+    feats_np = rng.standard_normal((n_streams, SEG, 16)).astype(np.float32)
+    data_sh = NamedSharding(mesh, P2("dp", None, None))
+    feats = gput(feats_np, data_sh)
+    lengths = gput(np.full((n_streams,), SEG, np.int32), NamedSharding(mesh, P2("dp")))
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, SEG, 16), jnp.float32),
+        jnp.full((1,), SEG, jnp.int32), jnp.zeros((1, 1), jnp.int32),
+        jnp.ones((1,), jnp.int32), deterministic=True)
+    dec = RNNTBeamSearch(model, params, blank=63, step_max_tokens=4, max_tokens=64)
+
+    hypos = shard_streams(mesh, dec.init_beams(BEAM, n_streams))
+    tick = jax.jit(lambda f, h, s: dec.infer_batch(f, lengths, BEAM, state=s, hypotheses=h))
+    hypos, state = jax.block_until_ready(tick(feats, hypos, None))
+    state = shard_encoder_state(mesh, state)
+
+    @jax.jit
+    def chain_k(feats, hypos, state):
+        def body(carry, _):
+            f, h, s = carry
+            h, s = dec.infer_batch(f, lengths, BEAM, state=s, hypotheses=h)
+            bump = (jnp.sum(h.scores) * 1e-12).astype(f.dtype)
+            return (f + bump, h, s), None
+        (f, h, s), _ = jax.lax.scan(body, (feats, hypos, state), None, length=iters)
+        return jnp.sum(h.scores)
+
+    jax.block_until_ready(chain_k(feats, hypos, state))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain_k(feats, hypos, state))
+        times.append(time.perf_counter() - t0)
+    w = float(np.median(times)) / iters
+    return n_streams * SEG_SECONDS / w  # decoded audio seconds / wall second
+
+
+def _measure_train(mesh, gput, batch, iters):
+    """Emformer-RNNT train step with dp gradient all-reduce — the workload
+    that actually stresses the cross-host (DCN) link, unlike the
+    embarrassingly-parallel DSP chain.  Returns audio seconds per wall
+    second (t_len frames at 10 ms hop per sample)."""
+    import optax
+    from jax.sharding import PartitionSpec as P2
+
+    from audio_tpu.functional import rnnt_loss
+
+    model = _tiny_rnnt()
+    t_len, u_len, rc = 24, 6, 2
+    rng = np.random.default_rng(0)
+    data_sh = NamedSharding(mesh, P2("dp", None, None))
+    tok_sh = NamedSharding(mesh, P2("dp", None))
+    vec_sh = NamedSharding(mesh, P2("dp"))
+    src = gput(rng.standard_normal((batch, t_len + rc, 16)).astype(np.float32), data_sh)
+    src_lengths = gput(np.full((batch,), t_len, np.int32), vec_sh)
+    targets = gput(rng.integers(1, 64, (batch, u_len)).astype(np.int32), tok_sh)
+    targets_in = gput(np.pad(np.asarray(rng.integers(1, 64, (batch, u_len)), np.int32),
+                             ((0, 0), (1, 0))), tok_sh)
+    target_lengths = gput(np.full((batch,), u_len, np.int32), vec_sh)
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, t_len + rc, 16), jnp.float32),
+        jnp.full((1,), t_len, jnp.int32), jnp.zeros((1, 1), jnp.int32),
+        jnp.ones((1,), jnp.int32), deterministic=True)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, src):
+        logits, out_lengths, _, _ = model.apply(
+            params, src, src_lengths, targets_in, target_lengths, deterministic=True)
+        return rnnt_loss(logits, targets, out_lengths, target_lengths, blank=0,
+                         reduction="mean")
+
+    @jax.jit
+    def chain_k(params, opt_state, src):
+        def body(carry, _):
+            p, o, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, s)
+            updates, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o, s * (1 + loss * 1e-12)), None
+        (p, o, s), _ = jax.lax.scan(body, (params, opt_state, src), None, length=iters)
+        return jax.tree_util.tree_leaves(p)[0].ravel()[0]
+
+    jax.block_until_ready(chain_k(params, opt_state, src))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain_k(params, opt_state, src))
+        times.append(time.perf_counter() - t0)
+    w = float(np.median(times)) / iters
+    return batch * t_len * 0.01 / w  # audio seconds / wall second
+
+
 def _worker(args):
     """One of the two simulated hosts (see --two-host)."""
     from audio_tpu.parallel import init_distributed
@@ -118,7 +244,7 @@ def _worker(args):
                      process_id=args.worker)
     assert jax.process_count() == args.nproc
     tput = measure(jax.device_count(), args.per_device_batch, args.iters,
-                   16000, args.seconds)
+                   16000, args.seconds, workload=args.workload)
     if args.worker == 0:
         print(json.dumps({
             "processes": args.nproc,
@@ -141,7 +267,8 @@ def _two_host(args):
                                 stderr=subprocess.STDOUT, text=True)
 
     common = ["--per-device-batch", str(args.per_device_batch),
-              "--iters", str(args.iters), "--seconds", str(args.seconds)]
+              "--iters", str(args.iters), "--seconds", str(args.seconds),
+              "--workload", args.workload]
     base_proc = spawn(common + ["--only-devices", "8"], 8)
     out, _ = base_proc.communicate(timeout=900)
     if base_proc.returncode != 0:
@@ -163,7 +290,8 @@ def _two_host(args):
 
     fraction = two["audio_seconds_per_second"] / base["audio_seconds_per_second"]
     print(json.dumps({
-        "metric": "two_host_scaling_fraction",
+        "metric": f"two_host_scaling_fraction_{args.workload}"
+                  if args.workload != "dsp" else "two_host_scaling_fraction",
         "value": round(fraction, 3),
         "unit": "2-process(4+4 dev, Gloo) / 1-process(8 dev) throughput",
         "baseline_audio_s_per_s": base["audio_seconds_per_second"],
@@ -175,6 +303,11 @@ def _two_host(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--per-device-batch", type=int, default=32)
+    p.add_argument("--workload", default="dsp", choices=("dsp", "decode", "train"),
+                   help="dsp: lfilter->mel->forced_align fleet chain; decode: "
+                        "dp-sharded streaming beam-search ticks (BASELINE "
+                        "config 5); train: Emformer-RNNT step with dp "
+                        "gradient all-reduce (the DCN-stressing workload)")
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--seconds", type=float, default=1.0)
     p.add_argument("--only-devices", type=int, default=None,
@@ -209,13 +342,15 @@ def main():
 
     base = None
     for n in counts:
-        tput = measure(n, args.per_device_batch, args.iters, 16000, args.seconds)
+        tput = measure(n, args.per_device_batch, args.iters, 16000, args.seconds,
+                       workload=args.workload)
         if base is None:
             base = tput
         eff = tput / (base * n)
         print(json.dumps({
             "devices": n,
             "platform": platform,
+            "workload": args.workload,
             "audio_seconds_per_second": round(tput, 1),
             "per_device": round(tput / n, 1),
             "scaling_efficiency_vs_1dev": round(eff, 3),

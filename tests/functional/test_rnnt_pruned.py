@@ -320,3 +320,106 @@ class TestPrunedJitVmap:
         g = jax.jit(jax.grad(lambda lg: jnp.sum(f(lg))))(jnp.asarray(band, jnp.bfloat16))
         assert g.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+class TestTrajectoryEquivalence:
+    """The pruned loss under OPTIMIZATION, not just one evaluation
+    (VERDICT r4 item 4b).  Full-band pruned training is step-for-step
+    identical to full-lattice training; narrow-band gradients stay aligned
+    with the full-lattice gradients along the trajectory."""
+
+    def _setup(self, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        B, T, U, V, D = 2, 12, 5, 33, 8
+        enc = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32) * 0.5)
+        pred = jnp.asarray(rng.standard_normal((B, U + 1, D)).astype(np.float32) * 0.5)
+        targets = jnp.asarray(rng.integers(1, V, (B, U)).astype(np.int32))
+        lt = jnp.asarray([T, T - 2], jnp.int32)
+        lu = jnp.asarray([U, U - 1], jnp.int32)
+        w0 = jnp.asarray(rng.standard_normal((D, V)).astype(np.float32) * 0.3)
+        return B, T, U, V, D, enc, pred, targets, lt, lu, w0
+
+    @staticmethod
+    def _logits(w, enc, pred):
+        # minimal additive joiner: logits[b,t,u] = (enc[b,t] + pred[b,u]) @ w
+        return jnp.einsum("btd,dv->btv", enc, w)[:, :, None, :] + jnp.einsum(
+            "bud,dv->buv", pred, w)[:, None, :, :]
+
+    def test_full_band_training_identical_to_full_lattice(self):
+        import optax
+
+        import audio_tpu.functional as F
+
+        B, T, U, V, D, enc, pred, targets, lt, lu, w0 = self._setup()
+        ranges = jnp.broadcast_to(jnp.arange(U + 1, dtype=jnp.int32), (B, T, U + 1))
+
+        def run(loss_kind):
+            tx = optax.adam(5e-2)
+            w = w0
+            opt = tx.init(w)
+            losses = []
+            for _ in range(15):
+                def loss_fn(w):
+                    logits = self._logits(w, enc, pred)
+                    if loss_kind == "full":
+                        return F.rnnt_loss(logits, targets, lt, lu, blank=0,
+                                           reduction="mean")
+                    return F.rnnt_loss_pruned(logits, targets, ranges, lt, lu,
+                                              blank=0, reduction="mean")
+                l, g = jax.value_and_grad(loss_fn)(w)
+                upd, opt = tx.update(g, opt, w)
+                w = optax.apply_updates(w, upd)
+                losses.append(float(l))
+            return losses
+
+        full = run("full")
+        band = run("pruned")
+        np.testing.assert_allclose(band, full, rtol=1e-4, atol=1e-4)
+        assert full[-1] < 0.5 * full[0]  # and it actually learns
+
+    def test_narrow_band_gradients_track_full(self):
+        """Along a full-loss optimization trajectory, the narrow-band
+        (band=3 << U+1=6) pruned gradient stays aligned with the full
+        gradient: cosine similarity > 0.9 at every step."""
+        import optax
+
+        import audio_tpu.functional as F
+
+        B, T, U, V, D, enc, pred, targets, lt, lu, w0 = self._setup(seed=1)
+        s = 3
+
+        def full_loss(w):
+            return F.rnnt_loss(self._logits(w, enc, pred), targets, lt, lu,
+                               blank=0, reduction="mean")
+
+        def pruned_loss(w):
+            logits = self._logits(w, enc, pred)
+            # band selection from the model's own posteriors, as the recipe
+            # does (simple-loss posteriors -> ranges)
+            from audio_tpu.ops.rnnt_pruned import rnnt_loss_simple_core
+
+            _, post = rnnt_loss_simple_core(
+                jnp.einsum("btd,dv->btv", enc, w),
+                jnp.einsum("bud,dv->buv", pred, w),
+                targets, lt, lu, 0)
+            ranges = F.get_rnnt_prune_ranges(post, lt, lu, s)
+            band_logits = jnp.take_along_axis(
+                logits, ranges[..., None], axis=2)
+            return F.rnnt_loss_pruned(band_logits, targets, ranges, lt, lu,
+                                      blank=0, reduction="mean")
+
+        tx = optax.adam(5e-2)
+        w = w0
+        opt = tx.init(w)
+        for step in range(10):
+            lf, gf = jax.value_and_grad(full_loss)(w)
+            lp, gp = jax.value_and_grad(pruned_loss)(w)
+            cos = float(jnp.sum(gf * gp) /
+                        (jnp.linalg.norm(gf) * jnp.linalg.norm(gp) + 1e-12))
+            assert cos > 0.9, (step, cos)
+            # pruned loss lower-bounds the likelihood: cost >= full cost
+            assert float(lp) >= float(lf) - 1e-4, (step, float(lp), float(lf))
+            upd, opt = tx.update(gf, opt, w)
+            w = optax.apply_updates(w, upd)

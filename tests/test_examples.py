@@ -139,6 +139,20 @@ def test_emformer_rnnt_recipe_pruned_loss():
 
 
 @pytest.mark.slow
+def test_overfit_gate_emformer_rnnt_pruned_loss():
+    """The pruned loss TRAINS: memorization gate with --pruned-loss at a band
+    (4) far narrower than U — loss must collapse and greedy decode must
+    reproduce every training transcript exactly (VERDICT r4 item 4a).  The
+    full-lattice loss it approximates is the reference's
+    /root/reference/src/libtorchaudio/rnnt/gpu/gpu_transducer.h:86-211."""
+    _run(
+        f"{_REPO}/examples/asr/emformer_rnnt/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "400", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3", "--pruned-loss", "--prune-band", "4"],
+    )
+
+
+@pytest.mark.slow
 def test_hubert_recipes(tmp_path):
     _run(
         f"{_REPO}/examples/hubert/preprocess.py",

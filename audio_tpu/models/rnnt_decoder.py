@@ -103,9 +103,17 @@ class RNNTBeamSearch:
     ) -> None:
         """``expansion``: candidate selection over the (K, V-1) pool per
         inner step — "exact" (lax.top_k, default; reference semantics) or
-        "approx" (lax.approx_max_k, TPU's hardware-binned selection,
-        ~95% per-step recall: a serving latency/accuracy knob; exact
-        fallback on CPU)."""
+        "approx" (lax.approx_max_k; exact fallback on CPU).
+
+        "approx" is NOT the shipped serving configuration: measured on-chip
+        against exact search on identical multi-tick emissions (76.7M
+        Emformer-RNNT serving config, tools/verify_tpu_parity.py --only
+        approx), its per-step candidate recall is 0.56 and final top-1
+        agreement 0.0 — ApproxTopK's binned selection collapses on the
+        search's block-contiguous candidate layout (each hypothesis
+        contributes V-1 consecutive entries whose top values cluster
+        inside one bin).  The knob remains for experimentation and carries
+        this measured quality bound."""
         if expansion not in ("exact", "approx"):
             raise ValueError("expansion must be 'exact' or 'approx'")
         self.model = model

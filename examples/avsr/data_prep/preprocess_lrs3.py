@@ -21,11 +21,14 @@ Input decoding:
   when the corpus was already extracted (and by the offline tests).
 
 Mouth ROI: the reference runs a RetinaFace/MediaPipe face detector and
-crops the mouth (data_prep/detectors/). Pretrained detector weights are
-network assets, so the default here is a DETERMINISTIC CENTER CROP of the
-lower half of the frame resized to ``--resize`` (96x96), which preserves
-the tensor contract end to end; plug a real detector into
-``detect_mouth_roi`` for production-quality crops.
+crops the mouth (data_prep/detectors/{retinaface,mediapipe}/detector.py).
+Pretrained detector weights are network assets, so the default here is
+:class:`MotionMouthDetector` — an in-repo, dependency-free detector that
+localizes the face by spatial texture and the mouth by temporal motion
+energy, then tracks it with temporally smoothed per-frame crops
+(``--detector motion``).  ``--detector center`` selects the deterministic
+lower-center crop, which is also the automatic fallback on degenerate
+(static / near-uniform) clips.
 """
 
 from __future__ import annotations
@@ -92,17 +95,147 @@ def load_av(path_noext: str, size: int):
     return None, None
 
 
-def detect_mouth_roi(frames: np.ndarray, size: int) -> np.ndarray:
-    """Stub detector: center crop of the lower face half, resized to size².
+def _box_filter(img: np.ndarray, k: int) -> np.ndarray:
+    """k×k mean filter via integral image (edges renormalized)."""
+    k = max(int(k), 1)
+    pad = np.zeros((img.shape[0] + 1, img.shape[1] + 1), np.float64)
+    pad[1:, 1:] = np.cumsum(np.cumsum(img, axis=0), axis=1)
+    h, w = img.shape
+    r = k // 2
+    y0 = np.clip(np.arange(h) - r, 0, h)
+    y1 = np.clip(np.arange(h) + r + 1, 0, h)
+    x0 = np.clip(np.arange(w) - r, 0, w)
+    x1 = np.clip(np.arange(w) + r + 1, 0, w)
+    s = (pad[y1][:, x1] - pad[y0][:, x1] - pad[y1][:, x0] + pad[y0][:, x0])
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (s / area).astype(np.float32)
 
-    The production hook: replace with a real face/landmark detector (the
-    reference uses RetinaFace, data_prep/detectors/retinaface/).
-    """
+
+def _resize_nearest(frames: np.ndarray, size: int) -> np.ndarray:
+    ys = np.clip((np.arange(size) * frames.shape[1] / size).astype(int), 0, frames.shape[1] - 1)
+    xs = np.clip((np.arange(size) * frames.shape[2] / size).astype(int), 0, frames.shape[2] - 1)
+    return frames[:, ys][:, :, xs]
+
+
+def _center_crop(frames: np.ndarray, size: int) -> np.ndarray:
+    """Deterministic lower-center crop (the documented fallback)."""
     t, h, w = frames.shape
     crop = frames[:, h // 2:, w // 4: w - w // 4] if h > 2 and w > 4 else frames
-    ys = np.clip((np.arange(size) * crop.shape[1] / size).astype(int), 0, crop.shape[1] - 1)
-    xs = np.clip((np.arange(size) * crop.shape[2] / size).astype(int), 0, crop.shape[2] - 1)
-    return crop[:, ys][:, :, xs]
+    return _resize_nearest(crop, size)
+
+
+class MotionMouthDetector:
+    """Landmark-free mouth-ROI detector — no external dependencies.
+
+    The reference ships RetinaFace/MediaPipe backends whose pretrained
+    weights are network assets (data_prep/detectors/*/detector.py); this
+    in-repo detector keeps the same two-stage contract — per-clip region
+    proposal, then temporally smoothed per-frame crops — from image
+    statistics instead of a learned face model:
+
+    1. **face box** — the dominant spatial-texture blob: local absolute
+       deviation from a smoothed frame, box-filtered and thresholded at
+       half its peak (faces are high-texture against background);
+    2. **mouth center** — the dominant temporal-motion blob (mean absolute
+       frame difference, box-filtered) restricted to the lower half of the
+       face box: during speech the articulating mouth is the most-moving
+       facial region;
+    3. **tracking** — per-frame motion centroid inside a window around the
+       clip-level center, EMA-smoothed over time (the reference linearly
+       interpolates missed detections — same spirit);
+    4. fixed-size crops around each frame's center.
+
+    Clips with no usable motion/texture signal (static or near-uniform)
+    report ``None`` centers and callers fall back to the center crop.
+    """
+
+    def __init__(self, mouth_window_frac: float = 0.18, ema: float = 0.6):
+        self.mouth_window_frac = mouth_window_frac
+        self.ema = ema
+
+    def __call__(self, frames: np.ndarray):
+        """frames (T, H, W) f32 in [0, 1] → (centers (T, 2) f32 [y, x],
+        crop_half int) or (None, None) when the signal is degenerate."""
+        t, h, w = frames.shape
+        if t < 3 or h < 8 or w < 8:
+            return None, None
+        k_tex = max(h // 8, 3)
+        k_mouth = max(int(h * self.mouth_window_frac), 3)
+
+        # 1. face box from texture
+        mean_frame = frames.mean(0)
+        texture = _box_filter(np.abs(mean_frame - _box_filter(mean_frame, k_tex)), k_tex)
+        if texture.max() < 1e-4:
+            return None, None
+        mask = texture >= 0.5 * texture.max()
+        ys, xs = np.nonzero(mask)
+        fy0, fy1, fx0, fx1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+
+        # 2. clip-level mouth center from motion in the lower face half
+        diffs = np.abs(np.diff(frames, axis=0)).mean(0)
+        motion = _box_filter(diffs, k_mouth)
+        if motion.max() < 1e-5:
+            return None, None
+        lower = np.full_like(motion, -np.inf)
+        my0 = (fy0 + fy1) // 2
+        lower[my0:fy1, fx0:fx1] = motion[my0:fy1, fx0:fx1]
+        if not np.isfinite(lower.max()):
+            return None, None
+        cy, cx = np.unravel_index(int(np.argmax(lower)), lower.shape)
+
+        # 3. per-frame tracking: motion centroid inside a window around the
+        # clip-level center, EMA-smoothed
+        win = k_mouth
+        centers = np.zeros((t, 2), np.float32)
+        prev = np.array([cy, cx], np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for i in range(t):
+            d = np.abs(frames[i] - frames[i - 1]) if i else np.abs(frames[1] - frames[0])
+            m = _box_filter(d, max(k_mouth // 2, 2))
+            y0, y1 = max(cy - win, 0), min(cy + win + 1, h)
+            x0, x1 = max(cx - win, 0), min(cx + win + 1, w)
+            patch = m[y0:y1, x0:x1]
+            tot = patch.sum()
+            if tot > 1e-6:
+                py = (patch * yy[y0:y1, x0:x1]).sum() / tot
+                px = (patch * xx[y0:y1, x0:x1]).sum() / tot
+                cur = np.array([py, px], np.float32)
+            else:
+                cur = prev
+            prev = self.ema * prev + (1 - self.ema) * cur
+            centers[i] = prev
+        crop_half = max(int(0.35 * max(fy1 - fy0, fx1 - fx0)), 3)
+        return centers, crop_half
+
+
+def detect_mouth_roi(frames: np.ndarray, size: int, detector: str = "motion") -> np.ndarray:
+    """Mouth-ROI crops (T, size, size) from raw grayscale frames.
+
+    ``detector="motion"`` (default) runs :class:`MotionMouthDetector` with
+    automatic fallback to the lower-center crop on degenerate clips;
+    ``detector="center"`` forces the deterministic crop.  Role counterpart
+    of the reference's detector-driven ``video_process`` pipeline
+    (/root/reference/examples/avsr/data_prep/detectors/mediapipe/video_process.py).
+    """
+    t, h, w = frames.shape
+    if detector == "motion":
+        centers, crop_half = MotionMouthDetector()(frames)
+        if centers is not None:
+            out = np.empty((t, 2 * crop_half, 2 * crop_half), np.float32)
+            for i in range(t):
+                cy = int(round(np.clip(centers[i, 0], crop_half, h - crop_half))) if h >= 2 * crop_half else h // 2
+                cx = int(round(np.clip(centers[i, 1], crop_half, w - crop_half))) if w >= 2 * crop_half else w // 2
+                y0, x0 = max(cy - crop_half, 0), max(cx - crop_half, 0)
+                patch = frames[i, y0:y0 + 2 * crop_half, x0:x0 + 2 * crop_half]
+                # pad ragged borders (tiny frames) to the fixed crop size
+                ph, pw = patch.shape
+                if (ph, pw) != (2 * crop_half, 2 * crop_half):
+                    full = np.zeros((2 * crop_half, 2 * crop_half), np.float32)
+                    full[:ph, :pw] = patch
+                    patch = full
+                out[i] = patch
+            return _resize_nearest(out, size)
+    return _center_crop(frames, size)
 
 
 # --------------------------------------------------------------------------
@@ -161,6 +294,10 @@ def main():
     p.add_argument("--dataset", default="lrs3")
     p.add_argument("--seg-duration", type=int, default=16)
     p.add_argument("--resize", type=int, default=96)
+    p.add_argument("--detector", default="motion", choices=["motion", "center"],
+                   help="mouth-ROI detector: 'motion' (in-repo texture+motion "
+                        "detector with center-crop fallback) or 'center' "
+                        "(deterministic lower-center crop)")
     p.add_argument("--groups", type=int, default=1)
     p.add_argument("--job-index", type=int, default=0)
     args = p.parse_args()
@@ -193,7 +330,7 @@ def main():
             video, audio = load_av(stem, args.resize)
             if video is None or not os.path.exists(stem + ".txt"):
                 continue
-            video = detect_mouth_roi(video, args.resize)
+            video = detect_mouth_roi(video, args.resize, detector=args.detector)
             content, timings = parse_transcript(stem + ".txt")
             is_pretrain = f"{os.sep}pretrain{os.sep}" in stem
             if is_pretrain and timings:

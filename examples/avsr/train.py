@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import itertools
 import time
 
 import flax.linen as nn
@@ -227,6 +228,10 @@ def main():
     p.add_argument("--num-symbols", type=int, default=1024)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--save-every", type=int, default=50)
+    p.add_argument("--overfit", action="store_true",
+                   help="learning gate: train on ONE fixed batch (dropout "
+                        "off) and assert greedy transducer decode reproduces "
+                        "every training transcript exactly")
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -266,11 +271,13 @@ def main():
     rep = replicate(mesh)
     params, opt_state = jax.device_put((params, opt_state), rep)
 
+    deterministic = bool(args.overfit)  # memorization gate trains dropout-off
+
     def loss_fn(params, videos, audios, vid_lens, targets, target_lengths, key):
         tgt_in = jnp.pad(targets, ((0, 0), (1, 0)), constant_values=BLANK_FIRST_TOKEN)
         logits, src_lens, _ = model.apply(
             {"params": params}, videos, audios, vid_lens, tgt_in, target_lengths + 1,
-            deterministic=False, rngs={"dropout": key},
+            deterministic=deterministic, rngs={"dropout": key},
         )
         return F.rnnt_loss(logits, targets, src_lens, target_lengths,
                            blank=BLANK_FIRST_TOKEN, reduction="mean")
@@ -291,6 +298,9 @@ def main():
 
     key = jax.random.PRNGKey(1)
     it = iter(data)
+    if args.overfit:
+        fixed = next(it)
+        it = itertools.repeat(fixed)  # the same batch forever
     t0 = time.time()
     for step in range(args.steps):
         videos, audios, vid_lens, tgt, tgt_lens = next(it)
@@ -307,6 +317,28 @@ def main():
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
         if ckpt_mgr and (step % args.save_every == args.save_every - 1 or step == args.steps - 1):
             ckpt_mgr.save(step, {"params": params, "step": step})
+
+    if args.overfit:
+        from audio_tpu.models import rnnt_greedy_decode
+
+        videos, audios, vid_lens, tgt, tgt_lens = fixed
+        fused, lens = jax.jit(lambda p, v, a, vl: model.apply(
+            {"params": p}, v, a, vl, deterministic=True, method=model.fuse)
+        )(params, jnp.asarray(videos), jnp.asarray(audios), jnp.asarray(vid_lens))
+        tokens, counts = rnnt_greedy_decode(
+            model, {"params": params}, fused, lens, blank=BLANK_FIRST_TOKEN,
+            max_tokens=64)
+        tokens, counts = np.asarray(tokens), np.asarray(counts)
+        n_exact = 0
+        for i in range(len(tgt_lens)):
+            hyp = tokens[i, : counts[i]].tolist()
+            ref = np.asarray(tgt)[i, : int(tgt_lens[i])].tolist()
+            n_exact += int(hyp == ref)
+        print(f"overfit_gate: exact {n_exact}/{len(tgt_lens)}  final_loss {float(loss):.4f}")
+        if n_exact != len(tgt_lens):
+            raise AssertionError(
+                f"memorization gate failed: {n_exact}/{len(tgt_lens)} exact "
+                f"transcripts after {args.steps} steps (loss {float(loss):.4f})")
 
 
 if __name__ == "__main__":

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import itertools
 import time
 
 import flax.linen as nn
@@ -223,6 +224,12 @@ def main():
                    choices=["train360", "train100", "dev", "test"])
     p.add_argument("--seconds", type=float, default=4.0)
     p.add_argument("--min-len", type=int, default=64000)
+    p.add_argument("--overfit", action="store_true",
+                   help="learning gate: train on ONE fixed batch and assert "
+                        "the memorized beamformer output gains > 3 dB SI-SDR "
+                        "over the reference channel (the reference's "
+                        "published L3DAS22 Ci-SDR is 19.0 dB, "
+                        "dnn_beamformer/README.md:41-46)")
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -264,6 +271,9 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     it = iter(data)
+    if args.overfit:
+        fixed = next(it)
+        it = itertools.repeat(fixed)  # the same batch forever
     t0 = time.time()
     for step in range(args.steps):
         mix, clean = next(it)
@@ -272,6 +282,19 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, mix, clean)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: neg-SI-SDR {float(loss):.4f} dB  ({time.time()-t0:.1f}s)")
+
+    if args.overfit:
+        mix, clean = (jnp.asarray(x) for x in fixed)
+        est = jax.jit(lambda p, m: model.apply({"params": p}, m))(params, mix)
+        sdr_est = -float(si_sdr_loss(est, clean))
+        sdr_ref = -float(si_sdr_loss(mix[:, 0], clean))
+        gain = sdr_est - sdr_ref
+        print(f"overfit_gate: si_sdr {sdr_est:.2f} dB  ref-channel {sdr_ref:.2f} dB  "
+              f"gain {gain:.2f} dB")
+        if gain < 3.0:
+            raise AssertionError(
+                f"memorization gate failed: SI-SDR gain {gain:.2f} dB < 3 dB "
+                f"after {args.steps} steps")
 
 
 if __name__ == "__main__":

@@ -181,6 +181,10 @@ def main():
                    help="root containing LibriSpeech/ (e.g. for train-clean-100)")
     p.add_argument("--librispeech-urls", default="train-clean-100",
                    help="comma-separated LibriSpeech subsets")
+    p.add_argument("--overfit", action="store_true",
+                   help="learning gate: train on ONE fixed collated batch "
+                        "and assert the per-frame contrastive loss collapses "
+                        "below half the chance level ln(1 + num_negatives)")
     p.add_argument("--librilight-path", default=None,
                    help="root containing librispeech_finetuning/ (Libri-Light)")
     p.add_argument("--librilight-subset", default="10h",
@@ -243,6 +247,36 @@ def main():
     key = jax.random.PRNGKey(2)
     step = 0
     t0 = time.time()
+    if args.overfit:
+        batch_idx = list(next(iter(sampler)))
+        rem = (-len(batch_idx)) % n_dp
+        batch_idx += [batch_idx[i % len(batch_idx)] for i in range(rem)]
+        collate = CollateFnWav2Vec2(
+            pad_to=sampler.bucket_upper_len(sampler.bucket_ids[0]), seed=0)
+        batch = collate([(fetch(i), lengths[i]) for i in batch_idx])
+        wav = jax.device_put(jnp.asarray(batch["waveforms"]), batch_sharding(mesh, 2))
+        lens = jax.device_put(jnp.asarray(batch["lengths"]), batch_sharding(mesh, 1))
+        last = None
+        for step in range(args.steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, n = train_step(params, opt_state, wav, lens, sub)
+            last = float(loss)
+            if step % 25 == 0 or step == args.steps - 1:
+                print(f'{{"step": {step}, "loss": {last:.4f}}}', flush=True)
+        chance = float(np.log(1 + num_neg))
+        print(f'{{"event": "overfit_gate", "final_loss": {last:.4f}, '
+              f'"chance": {chance:.2f}}}')
+        # bar: below half the chance level in nats.  The floor is bounded
+        # away from 0 because negatives are REDRAWN randomly every step (a
+        # fresh 10-way ranking problem per step, occasionally containing
+        # near-duplicates of the positive); measured trajectory on the tiny
+        # config: 2.40 (chance) -> 0.97 @ 250 steps -> 0.74 @ 450
+        if last > 0.5 * chance:
+            raise AssertionError(
+                f"memorization gate failed: contrastive loss {last:.4f} "
+                f"(chance {chance:.2f}) did not collapse below "
+                f"{0.5 * chance:.2f} after {args.steps} steps")
+        return
     while step < args.steps:
         for bi, batch_idx in enumerate(sampler):
             if step >= args.steps:

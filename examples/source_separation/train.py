@@ -131,6 +131,12 @@ def main():
     p.add_argument("--librimix-subset", default="train-360")
     p.add_argument("--seconds", type=float, default=3.0,
                    help="crop duration for real data (reference: 3 s)")
+    p.add_argument("--overfit", action="store_true",
+                   help="learning gate: train on ONE fixed batch and assert "
+                        "the memorized separation improves Si-SNR over the "
+                        "input mixture by > 5 dB (the reference's published "
+                        "Libri2Mix Si-SNRi is 15.3 dB after 200 epochs, "
+                        "conv_tasnet/README.md)")
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
@@ -184,12 +190,29 @@ def main():
 
     bsh = batch_sharding(mesh, 3)
     it = iter(data)
+    if args.overfit:
+        fixed = next(it)
+        it = itertools.repeat(fixed)  # the same batch forever
     t0 = time.time()
     for step in range(args.steps):
         sources = jax.device_put(jnp.asarray(next(it)), bsh)
         params, opt_state, loss = train_step(params, opt_state, sources)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: neg-si-snr {float(loss):.4f} dB  ({time.time()-t0:.1f}s)")
+
+    if args.overfit:
+        sources = jnp.asarray(fixed)
+        mixture = sources.sum(axis=1, keepdims=True)
+        estimates = jax.jit(lambda p, m: model.apply({"params": p}, m))(params, mixture)
+        si_est = -float(pit_neg_si_snr(estimates, sources))
+        si_mix = float(si_snr(jnp.broadcast_to(mixture, sources.shape), sources).mean())
+        si_snri = si_est - si_mix
+        print(f"overfit_gate: si_snr {si_est:.2f} dB  mixture {si_mix:.2f} dB  "
+              f"si_snri {si_snri:.2f} dB")
+        if si_snri < 5.0:
+            raise AssertionError(
+                f"memorization gate failed: Si-SNRi {si_snri:.2f} dB < 5 dB "
+                f"after {args.steps} steps")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import itertools
 import time
 
 import jax
@@ -77,11 +78,18 @@ def dequantize(q: np.ndarray, n_bits: int = N_BITS) -> np.ndarray:
 
 
 class SyntheticBatches:
-    """Random (waveform crop, aligned mel) pairs, shaped like the LJSpeech path."""
+    """Random (waveform crop, aligned mel) pairs, shaped like the LJSpeech path.
 
-    def __init__(self, batch_size, n_frames=12, seed=0):
+    ``tonal=True`` yields sinusoid mixtures instead of white noise — the
+    learnable signal for the --overfit gate (an autoregressive model can
+    drive next-sample NLL to ~0 on smooth waveforms; white-noise targets
+    are information-dense and unmemorizable at tiny model size).
+    """
+
+    def __init__(self, batch_size, n_frames=12, seed=0, tonal=False):
         self.batch_size, self.n_frames = batch_size, n_frames
         self.rng = np.random.default_rng(seed)
+        self.tonal = tonal
 
     def __iter__(self):
         while True:
@@ -89,7 +97,14 @@ class SyntheticBatches:
             # conv stack trims kernel_size-1 (=4) frames; model consumes
             # wav[:-1] which must be (mel_frames - 4) * hop samples
             mel = self.rng.standard_normal((b, 1, N_MELS, t + 4)).astype(np.float32)
-            wav = np.clip(0.3 * self.rng.standard_normal((b, 1, t * HOP + 1)), -1, 1)
+            if self.tonal:
+                n = t * HOP + 1
+                ts = np.arange(n) / SAMPLE_RATE
+                f = self.rng.uniform(80, 300, (b, 1, 1))
+                ph = self.rng.uniform(0, 2 * np.pi, (b, 1, 1))
+                wav = 0.7 * np.sin(2 * np.pi * f * ts + ph)
+            else:
+                wav = np.clip(0.3 * self.rng.standard_normal((b, 1, t * HOP + 1)), -1, 1)
             yield wav.astype(np.float32), mel
 
 
@@ -133,13 +148,20 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--ljspeech-path", default=None)
+    p.add_argument("--overfit", action="store_true",
+                   help="learning gate: train on ONE fixed batch and assert "
+                        "the memorized next-sample distribution collapses "
+                        "(NLL < 1.0 nat and within-1-class accuracy > 0.9 "
+                        "over the 256 mu-law classes; chance NLL is "
+                        "ln(256) = 5.5)")
     args = p.parse_args()
 
     mesh = create_mesh(tp=1)
     print(f"mesh: {mesh.shape}, devices: {len(jax.devices())}")
 
     if args.synthetic or args.ljspeech_path is None:
-        data = SyntheticBatches(args.global_batch)
+        data = SyntheticBatches(args.global_batch, n_frames=6 if args.overfit else 12,
+                                tonal=args.overfit)
     else:
         data = LJSpeechBatches(args.ljspeech_path, args.global_batch)
 
@@ -176,6 +198,9 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     it = iter(data)
+    if args.overfit:
+        fixed = next(it)
+        it = itertools.repeat(fixed)  # the same batch forever
     t0 = time.time()
     for step in range(args.steps):
         wav, mel = next(it)
@@ -184,6 +209,24 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, wav, mel)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: loss {float(loss):.4f}  ({time.time()-t0:.1f}s)")
+
+    if args.overfit:
+        wav, mel = (jnp.asarray(x) for x in fixed)
+        logits = jax.jit(lambda p, w, m: model.apply(
+            {"params": p, "batch_stats": batch_stats}, w[:, :, :-1], m))(params, wav, mel)
+        target = F.mu_law_encoding(wav[:, :, 1:], 2**N_BITS)
+        # within-1-class accuracy: mu-law quantization of a smooth waveform
+        # puts many samples on steep-slope bins where the +-1 neighbour is
+        # near-equiprobable; exact argmax is the wrong bar there
+        err = jnp.abs(jnp.argmax(logits, axis=-1) - target)
+        acc = float((err == 0).mean())
+        acc1 = float((err <= 1).mean())
+        print(f"overfit_gate: final_loss {float(loss):.4f}  argmax_acc {acc:.4f}  "
+              f"within1_acc {acc1:.4f}")
+        if float(loss) > 1.0 or acc1 < 0.9:
+            raise AssertionError(
+                f"memorization gate failed: loss {float(loss):.4f} (need < 1.0), "
+                f"within-1-class accuracy {acc1:.4f} (need > 0.9) after {args.steps} steps")
 
 
 if __name__ == "__main__":

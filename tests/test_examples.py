@@ -139,6 +139,92 @@ def test_emformer_rnnt_recipe_pruned_loss():
 
 
 @pytest.mark.slow
+def test_overfit_gate_conv_tasnet_mock_librimix(tmp_path):
+    """ConvTasNet learning gate THROUGH the real-data loader: a mock
+    on-disk Libri2Mix corpus (the dataset's directory contract) feeds the
+    LibriMixBatches collate path, and the memorized pair must separate with
+    Si-SNRi > 5 dB (reference published 15.3 dB after 200 epochs,
+    /root/reference/examples/source_separation/conv_tasnet/README.md)."""
+    import numpy as np
+
+    import audio_tpu as aio
+
+    rng = np.random.default_rng(9)
+    base = tmp_path / "Libri2Mix" / "wav8k" / "min" / "train-360"
+    ts = np.arange(16000) / 8000.0
+    for utt in range(2):
+        f1, f2 = rng.uniform(200, 700, 2)
+        s1 = (0.5 * np.sin(2 * np.pi * f1 * ts)).astype(np.float32)[None]
+        s2 = (0.5 * np.sin(2 * np.pi * f2 * ts + 1.0)).astype(np.float32)[None]
+        for sub, w in (("s1", s1), ("s2", s2), ("mix_clean", s1 + s2)):
+            p = base / sub / f"utt{utt}.wav"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            aio.save(str(p), w, 8000)
+
+    _run(
+        f"{_REPO}/examples/source_separation/train.py",
+        ["train.py", "--tiny", "--steps", "150", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3",
+         "--librimix-path", str(tmp_path), "--seconds", "1.0"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_conv_tasnet_synthetic():
+    _run(
+        f"{_REPO}/examples/source_separation/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "150", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_dnn_beamformer():
+    _run(
+        f"{_REPO}/examples/dnn_beamformer/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "150", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_wavernn():
+    _run(
+        f"{_REPO}/examples/tts/wavernn/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "400", "--global-batch", "8",
+         "--overfit", "--learning-rate", "3e-3"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_wav2letter():
+    _run(
+        f"{_REPO}/examples/asr/wav2letter/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "120", "--global-batch", "8",
+         "--overfit", "--decode-every", "50"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_ssl_wav2vec2():
+    _run(
+        f"{_REPO}/examples/self_supervised_learning/train_wav2vec2.py",
+        ["train_wav2vec2.py", "--synthetic", "--tiny", "--steps", "300",
+         "--batch-size", "1", "--overfit", "--learning-rate", "3e-3",
+         "--warmup-updates", "25", "--max-updates", "300"],
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_avsr():
+    _run(
+        f"{_REPO}/examples/avsr/train.py",
+        ["train.py", "--synthetic", "--tiny", "--steps", "400", "--global-batch", "8",
+         "--overfit", "--learning-rate", "2e-3", "--warmup-steps", "40"],
+    )
+
+
+@pytest.mark.slow
 def test_overfit_gate_emformer_rnnt_pruned_loss():
     """The pruned loss TRAINS: memorization gate with --pruned-loss at a band
     (4) far narrower than U — loss must collapse and greedy decode must

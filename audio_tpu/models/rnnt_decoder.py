@@ -152,7 +152,18 @@ class RNNTBeamSearch:
         return unflat(out), jax.tree.map(unflat, new_state)
 
     def _join(self, enc_t, pred_out):
-        """enc_t (S, D), pred_out (S, K, 1, D) -> log-probs (S, K, V)."""
+        """enc_t (S, D), pred_out (S, K, 1, D) -> raw join logits (S, K, V).
+
+        Returned in the MODEL dtype (bf16 under bf16 serving params): the
+        joiner matmul already ran on the MXU in that dtype, so an f32 cast
+        here adds no information — it only doubles the (S, K, V) tensor's
+        HBM footprint for every downstream pass.  All score MATH still
+        happens in f32: ``_lse_blank`` reduces in f32 and the candidate
+        build promotes (see ``_expand_a``).  The caller normalizes lazily
+        with one fused logsumexp instead of materializing a full (S, K, V)
+        log_softmax (log p = raw - lse; candidate ranking uses
+        (score - lse) + raw, bit-identical math, ~2 fewer tensor passes).
+        """
         s, k = pred_out.shape[:2]
         d = enc_t.shape[-1]
         src = jnp.broadcast_to(enc_t[:, None, None, :], (s, k, 1, d)).reshape(s * k, 1, d)
@@ -161,13 +172,30 @@ class RNNTBeamSearch:
             pred_out.reshape(s * k, 1, d), jnp.ones((s * k,), jnp.int32),
             method=self.model.join,
         )
-        # score math stays f32 even under bf16 params: the joiner matmul runs
-        # in the param dtype (MXU bf16), everything downstream accumulates in
-        # f32.  Returns RAW temperature-scaled logits — the caller normalizes
-        # lazily with one fused logsumexp instead of materializing a full
-        # (S, K, V) log_softmax (log p = raw - lse; candidate ranking uses
-        # (score - lse) + raw, bit-identical math, ~2 fewer tensor passes).
-        return joined[:, 0, 0].reshape(s, k, -1).astype(jnp.float32) / self.temperature
+        return joined[:, 0, 0].reshape(s, k, -1)
+
+    def _lse_blank(self, raw):
+        """f32 (logsumexp, blank logit) of the temperature-scaled join.
+
+        On TPU (temperature 1, f32/bf16) this is ONE fused Pallas pass over
+        the (S, K, V) logits (ops/pallas_rnnt_lps.py) — issued as XLA ops,
+        the logsumexp materializes an f32 copy of the logits and the blank
+        read is a strided one-element-per-row column load (the same
+        pathology measured on the training losses, docs/performance.md).
+        """
+        from audio_tpu.ops.pallas_rnnt_lps import (
+            lattice_row_stats,
+            use_row_stats_kernel,
+        )
+
+        v = raw.shape[-1]
+        if (self.temperature == 1.0 and raw.dtype in (jnp.float32, jnp.bfloat16)
+                and use_row_stats_kernel()):
+            lse, blank_raw, _ = lattice_row_stats(
+                raw, jnp.zeros(raw.shape[:-1], jnp.int32), v - 1)
+            return lse, blank_raw
+        rawf = raw.astype(jnp.float32) / self.temperature
+        return jax.nn.logsumexp(rawf, axis=-1), rawf[..., -1]
 
     # --- beam primitives ------------------------------------------------
     def _init_beam(self, beam_width: int) -> Hypothesis:
@@ -247,7 +275,9 @@ class RNNTBeamSearch:
         reference scores).
         """
         n_s = raw.shape[0]
-        nonblank = raw[:, :, :-1]
+        # raw arrives in the model dtype; candidate math promotes to f32
+        # (the f32 division by temperature folds away at the default 1.0)
+        nonblank = raw[:, :, :-1].astype(jnp.float32) / self.temperature
         base = jnp.where(a.counts >= 0, a.scores - lse, _NEG_INF)
         cand = base[:, :, None] + nonblank
         # one flat top_k over the pooled (K*(V-1)) candidates per stream —
@@ -360,10 +390,10 @@ class RNNTBeamSearch:
                 at = upd(at, a.tokens)
                 ao = upd(ao, a.pred_out)
                 ast = jax.tree.map(upd, ast, a.pred_state)
-                raw = self._join(enc_t, a.pred_out)  # (S, K, V) unnormalized
-                lse = jax.nn.logsumexp(raw, axis=-1)  # fused reduction
+                raw = self._join(enc_t, a.pred_out)  # (S, K, V) model dtype
+                lse, blank_raw = self._lse_blank(raw)  # one fused pass on TPU
                 blank_scores = jnp.where(
-                    a.counts >= 0, a.scores + raw[:, :, -1] - lse, _NEG_INF)
+                    a.counts >= 0, a.scores + blank_raw - lse, _NEG_INF)
                 bs = self._merge_blank_into_b(bs, a, blank_scores, i)
                 # reference: candidates must beat the beam_width-th best RAW
                 # b score; -inf while fewer than beam_width b hypos exist.

@@ -140,7 +140,6 @@ def _measure_decode(mesh, gput, n_streams, iters):
     from jax.sharding import PartitionSpec as P2
 
     from audio_tpu.models.rnnt_decoder import RNNTBeamSearch
-    from audio_tpu.parallel import shard_encoder_state, shard_streams
 
     SEG_SECONDS, SEG, BEAM = 0.16, 10, 4
     model = _tiny_rnnt()
@@ -154,14 +153,30 @@ def _measure_decode(mesh, gput, n_streams, iters):
         jnp.full((1,), SEG, jnp.int32), jnp.zeros((1, 1), jnp.int32),
         jnp.ones((1,), jnp.int32), deterministic=True)
     dec = RNNTBeamSearch(model, params, blank=63, step_max_tokens=4, max_tokens=64)
+    # Across HOSTS the early-exit while_loop is the wrong tool: its "any
+    # stream still expanding" predicate is a cross-process scalar collective
+    # EVERY inner iteration (cheap on ICI, ruinous over DCN/Gloo).  The
+    # static unrolled expansion is result-identical (an empty a-set
+    # contributes only no-op merges) and makes multi-host decode
+    # embarrassingly parallel — zero per-iteration collectives.  Used for
+    # BOTH the baseline and the two-host run so the scaling fraction
+    # compares identical programs (it is the multi-host serving config).
+    dec.static_expansion = True
 
-    hypos = shard_streams(mesh, dec.init_beams(BEAM, n_streams))
-    tick = jax.jit(lambda f, h, s: dec.infer_batch(f, lengths, BEAM, state=s, hypotheses=h))
-    hypos, state = jax.block_until_ready(tick(feats, hypos, None))
-    state = shard_encoder_state(mesh, state)
+    # every mesh-sharded array enters jit as an ARGUMENT (multi-process jax
+    # forbids closing over arrays spanning non-addressable devices)
+    def lead_spec(ndim):
+        return NamedSharding(mesh, P2(*(("dp",) + (None,) * (ndim - 1))))
+
+    hypos = jax.tree.map(
+        lambda x: gput(np.asarray(x), lead_spec(x.ndim)),
+        dec.init_beams(BEAM, n_streams))
+    tick = jax.jit(lambda f, le, h, s: dec.infer_batch(f, le, BEAM, state=s,
+                                                       hypotheses=h))
+    hypos, state = jax.block_until_ready(tick(feats, lengths, hypos, None))
 
     @jax.jit
-    def chain_k(feats, hypos, state):
+    def chain_k(feats, lengths, hypos, state):
         def body(carry, _):
             f, h, s = carry
             h, s = dec.infer_batch(f, lengths, BEAM, state=s, hypotheses=h)
@@ -170,11 +185,11 @@ def _measure_decode(mesh, gput, n_streams, iters):
         (f, h, s), _ = jax.lax.scan(body, (feats, hypos, state), None, length=iters)
         return jnp.sum(h.scores)
 
-    jax.block_until_ready(chain_k(feats, hypos, state))
+    jax.block_until_ready(chain_k(feats, lengths, hypos, state))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain_k(feats, hypos, state))
+        jax.block_until_ready(chain_k(feats, lengths, hypos, state))
         times.append(time.perf_counter() - t0)
     w = float(np.median(times)) / iters
     return n_streams * SEG_SECONDS / w  # decoded audio seconds / wall second
@@ -191,7 +206,10 @@ def _measure_train(mesh, gput, batch, iters):
     from audio_tpu.functional import rnnt_loss
 
     model = _tiny_rnnt()
-    t_len, u_len, rc = 24, 6, 2
+    # enough frames per step that the gradient allreduce competes with real
+    # compute (at t=24 the tiny model's step is all collective, which would
+    # measure Gloo latency rather than scaling)
+    t_len, u_len, rc = 96, 12, 2
     rng = np.random.default_rng(0)
     data_sh = NamedSharding(mesh, P2("dp", None, None))
     tok_sh = NamedSharding(mesh, P2("dp", None))
@@ -209,28 +227,33 @@ def _measure_train(mesh, gput, batch, iters):
     tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
 
-    def loss_fn(params, src):
+    def loss_fn(params, src, src_lengths, targets, targets_in, target_lengths):
         logits, out_lengths, _, _ = model.apply(
             params, src, src_lengths, targets_in, target_lengths, deterministic=True)
         return rnnt_loss(logits, targets, out_lengths, target_lengths, blank=0,
                          reduction="mean")
 
+    # all sharded operands are jit ARGUMENTS (multi-process jax forbids
+    # closing over arrays spanning non-addressable devices)
     @jax.jit
-    def chain_k(params, opt_state, src):
+    def chain_k(params, opt_state, src, src_lengths, targets, targets_in,
+                target_lengths):
         def body(carry, _):
             p, o, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, s)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                p, s, src_lengths, targets, targets_in, target_lengths)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             return (p, o, s * (1 + loss * 1e-12)), None
         (p, o, s), _ = jax.lax.scan(body, (params, opt_state, src), None, length=iters)
         return jax.tree_util.tree_leaves(p)[0].ravel()[0]
 
-    jax.block_until_ready(chain_k(params, opt_state, src))
+    args = (params, opt_state, src, src_lengths, targets, targets_in, target_lengths)
+    jax.block_until_ready(chain_k(*args))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain_k(params, opt_state, src))
+        jax.block_until_ready(chain_k(*args))
         times.append(time.perf_counter() - t0)
     w = float(np.median(times)) / iters
     return batch * t_len * 0.01 / w  # audio seconds / wall second

@@ -74,6 +74,27 @@ class _BSet(NamedTuple):
     ptr: jnp.ndarray  # (C,) int32 flat index (iteration * K + slot) into the arena
 
 
+class _PendingA(NamedTuple):
+    """A selected (not yet predicted) a set: ``_select_a``'s output.
+
+    Identical to :class:`Hypothesis` minus ``pred_out``/``pred_state`` of the
+    NEW tokens; instead it carries the selected extension tokens and the
+    gathered parent predictor state, from which ``_finish_a`` computes them.
+    Splitting selection from prediction lets the inner expansion loop defer
+    each iteration's predictor step until the loop has decided to run another
+    iteration — the final selection of every frame is dropped either way
+    (blank merges only), so one full predictor pass per frame is saved.
+    """
+
+    tokens: jnp.ndarray  # (S, K, Lmax) int32 with the new token written
+    counts: jnp.ndarray  # (S, K) int32, -1 = dead candidate
+    scores: jnp.ndarray  # (S, K) float raw log prob
+    token_idx: jnp.ndarray  # (S, K) int32 selected extension token
+    base_state: Any  # parent predictor state, gathered to (S, K, ...)
+    sig: jnp.ndarray  # (S, K) uint32
+    sig2: jnp.ndarray  # (S, K) uint32
+
+
 # multipliers of the two rolling fingerprints (FNV-1a prime / a second odd
 # constant): sig' = sig*P + tok+1.  Two independent uint32 hashes push the
 # same-length collision chance to ~2^-64 (uint64 is unavailable without
@@ -197,6 +218,30 @@ class RNNTBeamSearch:
         rawf = raw.astype(jnp.float32) / self.temperature
         return jax.nn.logsumexp(rawf, axis=-1), rawf[..., -1]
 
+    def _row_stats(self, raw, beam_width: int):
+        """(lse, blank_raw, per-row top-k) of the join in ONE lattice read.
+
+        On TPU the fused kernel additionally emits each (stream, hypothesis)
+        row's ``beam_width`` best non-blank logits — the only entries the
+        global candidate selection can ever pick (two-stage top-k is exact:
+        at most ``beam_width`` global winners come from any one row) — so
+        ``_select_a`` never materializes the (S, K*(V-1)) candidate pool nor
+        runs XLA TopK over it (measured ~6 GB/s effective).  Elsewhere
+        returns ``topk=None`` and the caller takes the pooled-top_k path.
+        """
+        from audio_tpu.ops.pallas_rnnt_lps import (
+            row_stats_topk,
+            use_row_stats_kernel,
+        )
+
+        v = raw.shape[-1]
+        if (self.temperature == 1.0 and raw.dtype in (jnp.float32, jnp.bfloat16)
+                and use_row_stats_kernel()):
+            lse, blank_raw, vals, idx = row_stats_topk(raw, v - 1, beam_width)
+            return lse, blank_raw, (vals, idx)
+        lse, blank_raw = self._lse_blank(raw)
+        return lse, blank_raw, None
+
     # --- beam primitives ------------------------------------------------
     def _init_beam(self, beam_width: int) -> Hypothesis:
         """Single-stream beam (K-leading; the search adds the S axis)."""
@@ -266,31 +311,51 @@ class RNNTBeamSearch:
             upd(b.ptr, blk_ptr),
         )
 
-    def _expand_a(self, a: Hypothesis, raw, lse, b_kth_score, beam_width: int) -> Hypothesis:
+    def _select_a(self, a: Hypothesis, raw, lse, b_kth_score, beam_width: int,
+                  topk=None) -> "_PendingA":
         """Non-blank top-k extensions that beat the k-th best b score (batched).
 
         ``raw``/``lse``: unnormalized join logits and their logsumexp; the
         candidate score is score + log p = (score - lse) + raw, fused into
         the one tensor write that feeds top_k (blank assumed last, as the
         reference scores).
+
+        Returns a ``_PendingA`` — the selected candidates WITHOUT their
+        predictor step.  ``_finish_a`` runs the predictor; the search calls
+        it at the TOP of the next inner iteration, so the exit iteration's
+        selection (whose extensions the reference also drops,
+        rnnt_decoder.py:226-265) never pays the LSTM stack.
         """
         n_s = raw.shape[0]
-        # raw arrives in the model dtype; candidate math promotes to f32
-        # (the f32 division by temperature folds away at the default 1.0)
-        nonblank = raw[:, :, :-1].astype(jnp.float32) / self.temperature
         base = jnp.where(a.counts >= 0, a.scores - lse, _NEG_INF)
-        cand = base[:, :, None] + nonblank
-        # one flat top_k over the pooled (K*(V-1)) candidates per stream —
-        # measured FASTER than the "exact two-stage" per-slot variant on TPU
-        # (88 -> 40 streams/chip at S=256): lax.top_k's cost scales with
-        # rows x k, so (S*K) rows each selecting k=10 does ~K times the work
-        if self.expansion == "approx":
-            flat_scores, flat_idx = jax.lax.approx_max_k(
-                cand.reshape(n_s, -1), beam_width, recall_target=0.95)
+        if topk is not None:
+            # the fused kernel already reduced each row to its beam_width
+            # best non-blank logits (f32): rank base + vals over the tiny
+            # (S, K*beam_width) pool — exact, same lowest-index tie order
+            vals, idx = topk
+            cand = base[:, :, None] + vals  # (S, K, beam_width) f32
+            flat_scores, pos = jax.lax.top_k(cand.reshape(n_s, -1), beam_width)
+            hypo_idx = pos // vals.shape[2]  # (S, K)
+            token_idx = jnp.take_along_axis(
+                idx.reshape(n_s, -1), pos, axis=1)
         else:
-            flat_scores, flat_idx = jax.lax.top_k(cand.reshape(n_s, -1), beam_width)
-        hypo_idx = flat_idx // nonblank.shape[2]  # (S, K)
-        token_idx = flat_idx % nonblank.shape[2]
+            # raw arrives in the model dtype; candidate math promotes to f32
+            # (the f32 division by temperature folds away at the default 1.0)
+            nonblank = raw[:, :, :-1].astype(jnp.float32) / self.temperature
+            cand = base[:, :, None] + nonblank
+            # one flat top_k over the pooled (K*(V-1)) candidates per stream —
+            # measured FASTER than the "exact two-stage" per-slot variant on
+            # TPU as XLA ops (88 -> 40 streams/chip at S=256): lax.top_k's
+            # cost scales with rows x k, so (S*K) rows each selecting k=10 do
+            # ~K times the work.  (The TPU production path instead gets the
+            # per-row top-k from the Pallas lattice read — see ``_row_stats``.)
+            if self.expansion == "approx":
+                flat_scores, flat_idx = jax.lax.approx_max_k(
+                    cand.reshape(n_s, -1), beam_width, recall_target=0.95)
+            else:
+                flat_scores, flat_idx = jax.lax.top_k(cand.reshape(n_s, -1), beam_width)
+            hypo_idx = flat_idx // nonblank.shape[2]  # (S, K)
+            token_idx = flat_idx % nonblank.shape[2]
         keep = flat_scores > b_kth_score[:, None]
 
         def take_k(x):
@@ -315,8 +380,14 @@ class RNNTBeamSearch:
         new_sig2 = jnp.take_along_axis(a.sig2, hypo_idx, axis=1) * _SIG2_PRIME + tok_u32
 
         base_state = jax.tree.map(take_k, a.pred_state)
-        pred_out, new_state = self._predict(token_idx[:, :, None].astype(jnp.int32), base_state)
-        return Hypothesis(new_tokens, new_counts, new_scores, pred_out, new_state, new_sig, new_sig2)
+        return _PendingA(new_tokens, new_counts, new_scores,
+                         token_idx.astype(jnp.int32), base_state, new_sig, new_sig2)
+
+    def _finish_a(self, pend: "_PendingA") -> Hypothesis:
+        """Run the deferred predictor step on a selection's candidates."""
+        pred_out, new_state = self._predict(pend.token_idx[:, :, None], pend.base_state)
+        return Hypothesis(pend.tokens, pend.counts, pend.scores, pred_out,
+                          new_state, pend.sig, pend.sig2)
 
     @staticmethod
     def _empty_bset(n_streams: int, capacity: int) -> _BSet:
@@ -374,24 +445,25 @@ class RNNTBeamSearch:
 
         def _step(carry, enc_t: jnp.ndarray):
             b, arena_tokens, arena_out, arena_state = carry
-            a = b
-            bs = self._empty_bset(n_s, b_capacity)
 
-            def inner_cond(carry):
-                i, a, bs, at, ao, ast = carry
-                # reference loops while the a set is non-empty (with the
-                # step_max_tokens safety bound); an empty a contributes only
-                # no-op merges, so early exit is result-identical
-                return (i <= self.step_max_tokens) & jnp.any(a.counts >= 0)
-
-            def inner(carry):
-                i, a, bs, at, ao, ast = carry
+            def iter_core(i, a: Hypothesis, bs, at, ao, ast):
+                """One inner iteration on a FINISHED a set: arena snapshot,
+                join, blank merge, candidate selection.  The selected
+                candidates' predictor step is deferred to ``_finish_a`` at
+                the top of the NEXT iteration — the exit iteration's
+                selection is dropped either way (the reference also keeps
+                only its blank merges, rnnt_decoder.py:226-265), so the
+                deferral saves one full predictor pass per frame."""
                 upd = lambda arr, x: jax.lax.dynamic_update_index_in_dim(arr, x, i, 1)  # noqa: E731
                 at = upd(at, a.tokens)
                 ao = upd(ao, a.pred_out)
                 ast = jax.tree.map(upd, ast, a.pred_state)
                 raw = self._join(enc_t, a.pred_out)  # (S, K, V) model dtype
-                lse, blank_raw = self._lse_blank(raw)  # one fused pass on TPU
+                if self.expansion == "approx":
+                    lse, blank_raw, topk = *self._lse_blank(raw), None
+                else:
+                    # one fused lattice read: lse + blank + per-row top-k
+                    lse, blank_raw, topk = self._row_stats(raw, beam_width)
                 blank_scores = jnp.where(
                     a.counts >= 0, a.scores + blank_raw - lse, _NEG_INF)
                 bs = self._merge_blank_into_b(bs, a, blank_scores, i)
@@ -403,17 +475,37 @@ class RNNTBeamSearch:
                 n_alive_b = jnp.sum(bs.counts >= 0, axis=1)
                 top_b, _ = jax.lax.top_k(bs.scores, beam_width)
                 kth = jnp.where(n_alive_b >= beam_width, top_b[:, -1], _NEG_INF)
-                a = self._expand_a(a, raw, lse, kth, beam_width)
-                return i + 1, a, bs, at, ao, ast
+                pend = self._select_a(a, raw, lse, kth, beam_width, topk=topk)
+                return pend, bs, at, ao, ast
 
-            carry0 = (jnp.int32(0), a, bs, arena_tokens, arena_out, arena_state)
+            # iteration 0 peeled: a = b arrives with a valid pred_out/state
+            # from the previous frame, so no predictor run is needed (and the
+            # reference's loop always enters at least once — b is non-empty)
+            pend, bs, at, ao, ast = iter_core(
+                jnp.int32(0), b, self._empty_bset(n_s, b_capacity),
+                arena_tokens, arena_out, arena_state)
+
+            def inner_cond(carry):
+                i, pend, bs, at, ao, ast = carry
+                # reference loops while the a set is non-empty (with the
+                # step_max_tokens safety bound); an empty a contributes only
+                # no-op merges, so early exit is result-identical
+                return (i <= self.step_max_tokens) & jnp.any(pend.counts >= 0)
+
+            def inner(carry):
+                i, pend, bs, at, ao, ast = carry
+                a = self._finish_a(pend)  # deferred predictor step
+                pend, bs, at, ao, ast = iter_core(i, a, bs, at, ao, ast)
+                return i + 1, pend, bs, at, ao, ast
+
+            carry0 = (jnp.int32(1), pend, bs, at, ao, ast)
             if self.static_expansion:
                 def inner_scan(carry, _):
                     return inner(carry), None
-                (_, a, bs, at, ao, ast), _ = jax.lax.scan(
-                    inner_scan, carry0, None, length=n_iters)
+                (_, pend, bs, at, ao, ast), _ = jax.lax.scan(
+                    inner_scan, carry0, None, length=n_iters - 1)
             else:
-                _, a, bs, at, ao, ast = jax.lax.while_loop(inner_cond, inner, carry0)
+                _, pend, bs, at, ao, ast = jax.lax.while_loop(inner_cond, inner, carry0)
             arenas = (at, ao, ast)
             # rank by length-normalized score: tokens include the init blank in
             # the reference, so len(tokens)+1 == emitted + 2

@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lattice_row_stats", "lattice_row_stats_reference"]
+__all__ = [
+    "lattice_row_stats",
+    "lattice_row_stats_reference",
+    "row_stats_topk",
+    "row_stats_topk_reference",
+]
 
 
 def _row_stats_kernel(x_ref, tgt_ref, lse_ref, blank_ref, label_ref, *, blank):
@@ -98,6 +103,105 @@ def lattice_row_stats(x, tgt, blank: int, interpret: bool = False):
     if pad:
         lse, blank_raw, label_raw = lse[:n], blank_raw[:n], label_raw[:n]
     return lse.reshape(lead), blank_raw.reshape(lead), label_raw.reshape(lead)
+
+
+def _row_stats_topk_kernel(x_ref, lse_ref, blank_ref, vals_ref, idx_ref, *,
+                           blank, k, v_valid):
+    """lse + blank + per-row top-k over columns [0, blank) in ONE read.
+
+    The beam search's candidate selection needs, per (stream, hypothesis)
+    row: the logsumexp (score normalizer), the blank logit (b-set merge),
+    and the k best non-blank logits (every global top-k extension of a
+    stream comes from some row's top-k — two-stage selection is exact).
+    Issued as XLA ops this costs a multi-pass TopK over the materialized
+    (S, K*(V-1)) candidate pool (~6 GB/s effective, measured) plus a
+    separate stats pass; here one VMEM-resident tile serves all four
+    outputs.  Top-k is k unrolled VPU rounds of (max → first-index →
+    mask-out), ties by lowest index like ``lax.top_k``.
+    """
+    x = x_ref[...].astype(jnp.float32)  # (RB, V)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    valid = lane < v_valid
+    xv = jnp.where(valid, x, -jnp.inf)
+    m = jnp.max(xv, axis=-1, keepdims=True)
+    s = jnp.sum(jnp.where(valid, jnp.exp(x - m), 0.0), axis=-1, keepdims=True)
+    lse_ref[...] = m + jnp.log(s)
+    blank_ref[...] = x[:, blank:blank + 1]
+    xm = jnp.where(lane < blank, x, -jnp.inf)  # non-blank candidates only
+    big = jnp.int32(x.shape[1])
+    for j in range(k):
+        mj = jnp.max(xm, axis=-1, keepdims=True)
+        aj = jnp.min(jnp.where(xm >= mj, lane, big), axis=-1, keepdims=True)
+        vals_ref[:, j:j + 1] = mj
+        idx_ref[:, j:j + 1] = aj
+        xm = jnp.where(lane == aj, -jnp.inf, xm)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "k", "v_valid", "interpret"))
+def _row_stats_topk_call(x2, blank, k, v_valid, interpret=False):
+    n, v = x2.shape
+    rb = 128
+    while n % rb:
+        rb //= 2
+    col = lambda: pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    kcol = lambda: pl.BlockSpec((rb, k), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_row_stats_topk_kernel, blank=blank, k=k,
+                          v_valid=v_valid),
+        grid=(n // rb,),
+        in_specs=[pl.BlockSpec((rb, v), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=(col(), col(), kcol(), kcol()),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * v * (1 + k), bytes_accessed=n * v * x2.dtype.itemsize,
+            transcendentals=n * v),
+        interpret=interpret,
+    )(x2)
+
+
+def row_stats_topk(x, blank: int, k: int, interpret: bool = False):
+    """Per-row (lse, blank_logit, top-k non-blank values, indices).
+
+    Args:
+        x: (..., V) logits, blank assumed scored at column ``blank`` with
+            the non-blank candidates at columns [0, blank) (the search's
+            layout; columns past ``blank`` are ignored).
+        blank: static blank column (== V-1 for the RNN-T search).
+        k: static number of per-row candidates (beam width).
+
+    Returns:
+        lse (...), blank_raw (...) f32 over ALL columns <= blank;
+        vals (..., k) f32 / idx (..., k) int32: the k largest of
+        ``x[..., :blank]`` per row, descending, ties by lowest index
+        (``lax.top_k`` order).
+    """
+    lead = x.shape[:-1]
+    v = x.shape[-1]
+    x2 = x.reshape(-1, v)
+    n = x2.shape[0]
+    pad = (-n) % 128
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    lse, blank_raw, vals, idx = _row_stats_topk_call(
+        x2, blank, k, blank + 1, interpret=interpret)
+    if pad:
+        lse, blank_raw, vals, idx = lse[:n], blank_raw[:n], vals[:n], idx[:n]
+    return (lse[:, 0].reshape(lead), blank_raw[:, 0].reshape(lead),
+            vals.reshape(lead + (k,)), idx.reshape(lead + (k,)))
+
+
+def row_stats_topk_reference(x, blank: int, k: int):
+    """jnp formulation (CPU fallback / parity oracle)."""
+    xf = x[..., :blank + 1].astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(xf, axis=-1)
+    blank_raw = xf[..., blank]
+    vals, idx = jax.lax.top_k(xf[..., :blank], k)
+    return lse, blank_raw, vals, idx
 
 
 def lattice_row_stats_reference(x, tgt, blank: int):

@@ -120,6 +120,32 @@ class TestRNNTBeamSearch:
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32), atol=1e-5)
 
+    def test_fused_topk_selection_matches_pooled(self, decoders, monkeypatch):
+        """The TPU production path (Pallas one-read lse/blank/top-k, two-
+        stage exact selection) decodes identically to the pooled-top_k
+        path — forced on CPU via the interpret-mode kernel."""
+        import functools
+
+        from audio_tpu.ops import pallas_rnnt_lps as lps
+
+        _, j_dec, blank = decoders
+        rng = np.random.default_rng(21)
+        t_len = CFG["segment_length"] * 2 + CFG["right_context_length"]
+        x = jnp.asarray(rng.standard_normal((t_len, CFG["input_dim"])).astype(np.float32))
+        beam_plain = j_dec.forward(x, jnp.asarray(t_len), 4)
+        monkeypatch.setattr(lps, "use_row_stats_kernel", lambda: True)
+        monkeypatch.setattr(
+            lps, "row_stats_topk",
+            functools.partial(lps.row_stats_topk, interpret=True))
+        beam_fused = j_dec.forward(x, jnp.asarray(t_len), 4)
+        np.testing.assert_array_equal(np.asarray(beam_fused.tokens),
+                                      np.asarray(beam_plain.tokens))
+        np.testing.assert_array_equal(np.asarray(beam_fused.counts),
+                                      np.asarray(beam_plain.counts))
+        np.testing.assert_allclose(np.asarray(beam_fused.scores),
+                                   np.asarray(beam_plain.scores),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_streaming_infer_runs(self, decoders):
         _, j_dec, _ = decoders
         rng = np.random.default_rng(5)

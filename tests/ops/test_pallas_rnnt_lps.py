@@ -7,6 +7,8 @@ import jax.numpy as jnp
 from audio_tpu.ops.pallas_rnnt_lps import (
     lattice_row_stats,
     lattice_row_stats_reference,
+    row_stats_topk,
+    row_stats_topk_reference,
 )
 
 
@@ -41,3 +43,37 @@ class TestLatticeRowStats:
 
     def test_3d_full_lattice_rows(self):
         _check((4, 7), 19, 0, "f32", seed=5)
+
+
+def _check_topk(shape, v, k, dtype="f32", seed=0, tol=1e-5):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal(shape + (v,)).astype(np.float32))
+    if dtype == "bf16":
+        x = x.astype(jnp.bfloat16)
+        tol = 1e-2
+    lse, blank, vals, idx = row_stats_topk(x, v - 1, k, interpret=True)
+    rlse, rblank, rvals, ridx = row_stats_topk_reference(x, v - 1, k)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(rlse),
+                               atol=tol, rtol=tol, err_msg="lse")
+    np.testing.assert_allclose(np.asarray(blank), np.asarray(rblank),
+                               atol=tol, rtol=tol, err_msg="blank")
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rvals),
+                               atol=tol, rtol=tol, err_msg="vals")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+
+
+class TestRowStatsTopK:
+    def test_search_shape(self):
+        # (S, K, V) beam-search join layout, blank last
+        _check_topk((4, 5), 33, 3)
+
+    def test_bf16_ties(self):
+        # bf16 quantization makes in-row ties likely: idx must still match
+        # lax.top_k's lowest-index tie order exactly
+        _check_topk((3, 4), 64, 6, dtype="bf16", seed=2)
+
+    def test_row_padding(self):
+        _check_topk((2, 3, 5), 21, 4, seed=3)
+
+    def test_k_exceeds_nothing(self):
+        _check_topk((2, 2), 17, 10, seed=4)

@@ -250,6 +250,32 @@ def verify_rnnt_lps():
               time.time() - t0 if name == "lse" else 0.0)
 
 
+def verify_rowstats_topk():
+    """Fused lse/blank/top-k lattice read (Mosaic) vs XLA logsumexp + slice
+    + lax.top_k on-chip, at the beam search's (S, K, V) join shape in bf16.
+    Indices must match EXACTLY (same lowest-index tie order as lax.top_k)."""
+    from audio_tpu.ops.pallas_rnnt_lps import (
+        row_stats_topk,
+        row_stats_topk_reference,
+    )
+
+    t0 = time.time()
+    rng = np.random.default_rng(9)
+    S, K, V, BEAM = 256, 10, 4097, 10
+    x = jnp.asarray((rng.standard_normal((S, K, V)) * 2.0).astype(np.float32)).astype(jnp.bfloat16)
+    got = jax.block_until_ready(row_stats_topk(x, V - 1, BEAM))
+    ref = jax.block_until_ready(jax.jit(
+        lambda x: row_stats_topk_reference(x, V - 1, BEAM))(x))
+    for name, a, b in zip(("lse", "blank", "vals"), got[:3], ref[:3]):
+        ma, mr = rel_err(np.asarray(a), np.asarray(b))
+        check(f"pallas_rowstats_topk_{name}", ma, mr, 5e-3, 5e-3,
+              time.time() - t0 if name == "lse" else 0.0)
+    idx_mismatch = int(np.sum(np.asarray(got[3]) != np.asarray(ref[3])))
+    check("pallas_rowstats_topk_idx", float(idx_mismatch), 0.0, 0.0, 0.0, 0.0,
+          extra={"mismatched_indices": idx_mismatch,
+                 "total": int(np.prod(np.asarray(ref[3]).shape))})
+
+
 def verify_approx_expansion():
     """On-chip quality bound for ``RNNTBeamSearch(expansion="approx")``.
 
@@ -368,7 +394,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
                     choices=[None, "iir", "lfilter", "viterbi", "spectrogram",
-                             "attention", "rnnt_lps", "approx"])
+                             "attention", "rnnt_lps", "rowstats_topk", "approx"])
     args = ap.parse_args()
     backend = jax.default_backend()
     print(json.dumps({"backend": backend, "devices": [str(d) for d in jax.devices()]}), flush=True)
@@ -387,6 +413,8 @@ def main():
         verify_attention()
     if args.only in (None, "rnnt_lps"):
         verify_rnnt_lps()
+    if args.only in (None, "rowstats_topk"):
+        verify_rowstats_topk()
     if args.only in (None, "approx"):
         verify_approx_expansion()
     n_fail = sum(not r["ok"] for r in RESULTS)

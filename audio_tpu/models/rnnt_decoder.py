@@ -242,6 +242,35 @@ class RNNTBeamSearch:
         lse, blank_raw = self._lse_blank(raw)
         return lse, blank_raw, None
 
+    def _can_fuse_join(self) -> bool:
+        from audio_tpu.ops.pallas_rnnt_lps import use_row_stats_kernel
+
+        return (self.temperature == 1.0 and self.expansion != "approx"
+                and use_row_stats_kernel()
+                and getattr(self.model.joiner, "activation", None) == "relu")
+
+    def _join_stats(self, enc_t, pred_out, beam_width: int):
+        """(lse, blank_raw, (vals, idx)) of the join WITHOUT the logits.
+
+        The (S, K, V) join logits exist only to be reduced to per-row
+        statistics, so the TPU path computes the joiner output matmul on
+        the MXU *inside* the stats kernel (``join_stats_topk``): per inner
+        iteration the HBM traffic drops from write+read of the logits
+        lattice to one read of the (S*K, D) activations, with the (D, V)
+        weight VMEM-resident across row blocks.  The activation
+        ``relu(src + tgt)`` is the reference joiner's
+        (/root/reference/src/torchaudio/models/rnnt.py ``_Joiner``),
+        computed here directly from the encoder frame and predictor output.
+        """
+        from audio_tpu.ops.pallas_rnnt_lps import join_stats_topk
+
+        jp = self.params["params"]["joiner"]["linear"]
+        act = jax.nn.relu(enc_t[:, None, :] + pred_out[:, :, 0, :])  # (S, K, D)
+        lse, blank_raw, vals, idx = join_stats_topk(
+            act, jp["kernel"], jp["bias"], jp["kernel"].shape[1] - 1,
+            beam_width)
+        return lse, blank_raw, (vals, idx)
+
     # --- beam primitives ------------------------------------------------
     def _init_beam(self, beam_width: int) -> Hypothesis:
         """Single-stream beam (K-leading; the search adds the S axis)."""
@@ -326,7 +355,7 @@ class RNNTBeamSearch:
         selection (whose extensions the reference also drops,
         rnnt_decoder.py:226-265) never pays the LSTM stack.
         """
-        n_s = raw.shape[0]
+        n_s = a.counts.shape[0]
         base = jnp.where(a.counts >= 0, a.scores - lse, _NEG_INF)
         if topk is not None:
             # the fused kernel already reduced each row to its beam_width
@@ -458,12 +487,19 @@ class RNNTBeamSearch:
                 at = upd(at, a.tokens)
                 ao = upd(ao, a.pred_out)
                 ast = jax.tree.map(upd, ast, a.pred_state)
-                raw = self._join(enc_t, a.pred_out)  # (S, K, V) model dtype
-                if self.expansion == "approx":
-                    lse, blank_raw, topk = *self._lse_blank(raw), None
+                if self._can_fuse_join():
+                    # joiner matmul + lse + blank + per-row top-k in ONE
+                    # kernel — the (S, K, V) logits never touch HBM
+                    raw = None
+                    lse, blank_raw, topk = self._join_stats(
+                        enc_t, a.pred_out, beam_width)
                 else:
-                    # one fused lattice read: lse + blank + per-row top-k
-                    lse, blank_raw, topk = self._row_stats(raw, beam_width)
+                    raw = self._join(enc_t, a.pred_out)  # (S, K, V) model dtype
+                    if self.expansion == "approx":
+                        lse, blank_raw, topk = *self._lse_blank(raw), None
+                    else:
+                        # one fused lattice read: lse + blank + per-row top-k
+                        lse, blank_raw, topk = self._row_stats(raw, beam_width)
                 blank_scores = jnp.where(
                     a.counts >= 0, a.scores + blank_raw - lse, _NEG_INF)
                 bs = self._merge_blank_into_b(bs, a, blank_scores, i)

@@ -33,6 +33,8 @@ __all__ = [
     "lattice_row_stats_reference",
     "row_stats_topk",
     "row_stats_topk_reference",
+    "join_stats_topk",
+    "join_stats_topk_reference",
 ]
 
 
@@ -193,6 +195,110 @@ def row_stats_topk(x, blank: int, k: int, interpret: bool = False):
         lse, blank_raw, vals, idx = lse[:n], blank_raw[:n], vals[:n], idx[:n]
     return (lse[:, 0].reshape(lead), blank_raw[:, 0].reshape(lead),
             vals.reshape(lead + (k,)), idx.reshape(lead + (k,)))
+
+
+def _join_stats_topk_kernel(act_ref, w_ref, b_ref, lse_ref, blank_ref,
+                            vals_ref, idx_ref, *, blank, k, v_valid):
+    """Joiner matmul + lse/blank/top-k with the logits tile VMEM-resident.
+
+    The beam search's join logits (S*K, V) exist only to be reduced to
+    (lse, blank, per-row top-k); computing the (RB, V) tile on the MXU
+    inside the kernel means the full logits lattice NEVER touches HBM —
+    per inner iteration the traffic drops from write+read of the (S, K, V)
+    lattice to one read of the (S*K, D) activations (the (D, V) weight
+    stays VMEM-resident across row blocks: constant index_map).
+    """
+    act = act_ref[...]  # (RB, D) model dtype
+    w = w_ref[...]  # (D, V) model dtype
+    x = jax.lax.dot_general(
+        act, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)  # (RB, V) f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    valid = lane < v_valid
+    xv = jnp.where(valid, x, -jnp.inf)
+    m = jnp.max(xv, axis=-1, keepdims=True)
+    s = jnp.sum(jnp.where(valid, jnp.exp(x - m), 0.0), axis=-1, keepdims=True)
+    lse_ref[...] = m + jnp.log(s)
+    blank_ref[...] = x[:, blank:blank + 1]
+    xm = jnp.where(lane < blank, x, -jnp.inf)
+    big = jnp.int32(x.shape[1])
+    for j in range(k):
+        mj = jnp.max(xm, axis=-1, keepdims=True)
+        aj = jnp.min(jnp.where(xm >= mj, lane, big), axis=-1, keepdims=True)
+        vals_ref[:, j:j + 1] = mj
+        idx_ref[:, j:j + 1] = aj
+        xm = jnp.where(lane == aj, -jnp.inf, xm)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "k", "v_valid", "interpret"))
+def _join_stats_topk_call(act2, w, b, blank, k, v_valid, interpret=False):
+    n, d = act2.shape
+    v = w.shape[1]
+    # rb=128: (D,V) bf16 weight ~8.4 MB resident + (RB,V) f32 logits tile
+    # ~2.1 MB (+ its top-k working copy) fits v5e VMEM with headroom
+    rb = 128
+    while n % rb:
+        rb //= 2
+    col = lambda: pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    kcol = lambda: pl.BlockSpec((rb, k), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_join_stats_topk_kernel, blank=blank, k=k,
+                          v_valid=v_valid),
+        grid=(n // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, v), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(col(), col(), kcol(), kcol()),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * v + 2 * n * v * (1 + k),
+            bytes_accessed=n * d * act2.dtype.itemsize + d * v * w.dtype.itemsize,
+            transcendentals=n * v),
+        interpret=interpret,
+    )(act2, w, b)
+
+
+def join_stats_topk(act, w, b, blank: int, k: int, interpret: bool = False):
+    """(lse, blank_logit, top-k vals/idx) of ``act @ w + b`` per row.
+
+    Args:
+        act: (..., D) joiner activations (``relu(src + tgt)``), model dtype.
+        w: (D, V) joiner output weight; b: (V,) bias.
+        blank: static blank column (== V-1); candidates are columns
+            [0, blank).
+        k: static per-row candidate count (beam width).
+
+    Returns the same four arrays as :func:`row_stats_topk` — the (..., V)
+    logits are never materialized in HBM.
+    """
+    lead = act.shape[:-1]
+    d = act.shape[-1]
+    act2 = act.reshape(-1, d)
+    n = act2.shape[0]
+    pad = (-n) % 128
+    if pad:
+        act2 = jnp.pad(act2, ((0, pad), (0, 0)))
+    lse, blank_raw, vals, idx = _join_stats_topk_call(
+        act2, w, b.reshape(1, -1), blank, k, blank + 1, interpret=interpret)
+    if pad:
+        lse, blank_raw, vals, idx = lse[:n], blank_raw[:n], vals[:n], idx[:n]
+    return (lse[:, 0].reshape(lead), blank_raw[:, 0].reshape(lead),
+            vals.reshape(lead + (k,)), idx.reshape(lead + (k,)))
+
+
+def join_stats_topk_reference(act, w, b, blank: int, k: int):
+    """jnp formulation (CPU fallback / parity oracle)."""
+    x = (jnp.dot(act, w, preferred_element_type=jnp.float32)
+         + b.astype(jnp.float32))
+    return row_stats_topk_reference(x, blank, k)
 
 
 def row_stats_topk_reference(x, blank: int, k: int):

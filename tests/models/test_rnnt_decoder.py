@@ -120,10 +120,14 @@ class TestRNNTBeamSearch:
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32), atol=1e-5)
 
-    def test_fused_topk_selection_matches_pooled(self, decoders, monkeypatch):
-        """The TPU production path (Pallas one-read lse/blank/top-k, two-
-        stage exact selection) decodes identically to the pooled-top_k
-        path — forced on CPU via the interpret-mode kernel."""
+    @pytest.mark.parametrize("path", ["rowstats", "joinfused"])
+    def test_fused_topk_selection_matches_pooled(self, decoders, monkeypatch, path):
+        """The TPU production paths decode identically to the pooled-top_k
+        path — forced on CPU via the interpret-mode kernels.
+
+        ``rowstats``: Pallas one-read lse/blank/top-k over the materialized
+        join logits.  ``joinfused``: the joiner matmul fused into the same
+        kernel (logits never materialized)."""
         import functools
 
         from audio_tpu.ops import pallas_rnnt_lps as lps
@@ -137,6 +141,11 @@ class TestRNNTBeamSearch:
         monkeypatch.setattr(
             lps, "row_stats_topk",
             functools.partial(lps.row_stats_topk, interpret=True))
+        monkeypatch.setattr(
+            lps, "join_stats_topk",
+            functools.partial(lps.join_stats_topk, interpret=True))
+        if path == "rowstats":
+            monkeypatch.setattr(type(j_dec), "_can_fuse_join", lambda self: False)
         beam_fused = j_dec.forward(x, jnp.asarray(t_len), 4)
         np.testing.assert_array_equal(np.asarray(beam_fused.tokens),
                                       np.asarray(beam_plain.tokens))

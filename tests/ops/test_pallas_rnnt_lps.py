@@ -77,3 +77,35 @@ class TestRowStatsTopK:
 
     def test_k_exceeds_nothing(self):
         _check_topk((2, 2), 17, 10, seed=4)
+
+
+class TestJoinStatsTopK:
+    def _check(self, shape, d, v, k, dtype="f32", seed=0, tol=1e-5):
+        from audio_tpu.ops.pallas_rnnt_lps import (
+            join_stats_topk,
+            join_stats_topk_reference,
+        )
+
+        rng = np.random.default_rng(seed)
+        act = jnp.asarray(rng.standard_normal(shape + (d,)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((d, v)) * 0.2).astype(np.float32))
+        b = jnp.asarray((rng.standard_normal((v,)) * 0.1).astype(np.float32))
+        if dtype == "bf16":
+            act, w, b = (t.astype(jnp.bfloat16) for t in (act, w, b))
+            tol = 2e-2
+        got = join_stats_topk(act, w, b, v - 1, k, interpret=True)
+        ref = join_stats_topk_reference(act, w, b, v - 1, k)
+        for name, a_, b_ in zip(("lse", "blank", "vals"), got[:3], ref[:3]):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       atol=tol, rtol=tol, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+
+    def test_search_shape(self):
+        _check = self._check
+        _check((6, 4), 32, 65, 3)
+
+    def test_bf16(self):
+        self._check((4, 3), 64, 129, 5, dtype="bf16", seed=2)
+
+    def test_row_padding(self):
+        self._check((3, 7), 16, 33, 4, seed=3)

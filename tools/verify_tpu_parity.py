@@ -276,6 +276,43 @@ def verify_rowstats_topk():
                  "total": int(np.prod(np.asarray(ref[3]).shape))})
 
 
+def verify_join_stats_topk():
+    """Joiner-matmul-fused stats/top-k kernel (MXU dot inside Mosaic) vs
+    the XLA dot + logsumexp + lax.top_k oracle on-chip, bf16 serving dtype
+    at the search's (S*K, D) x (D, V) shape.  The kernel accumulates the
+    dot in f32 while the XLA oracle rounds logits to bf16 — compare
+    against an f32-accumulating oracle and allow bf16-scale tolerance on
+    values; indices may legitimately differ only where two logits are
+    within accumulation noise, so gate on a tiny mismatch rate instead of
+    exact equality."""
+    from audio_tpu.ops.pallas_rnnt_lps import (
+        join_stats_topk,
+        join_stats_topk_reference,
+    )
+
+    t0 = time.time()
+    rng = np.random.default_rng(11)
+    S, K, D, V, BEAM = 256, 10, 1024, 4097, 10
+    act = jnp.asarray(np.maximum(
+        rng.standard_normal((S, K, D)), 0.0).astype(np.float32) * 0.5
+    ).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.standard_normal((D, V)) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    b = jnp.asarray((rng.standard_normal((V,)) * 0.1).astype(np.float32)).astype(jnp.bfloat16)
+    got = jax.block_until_ready(join_stats_topk(act, w, b, V - 1, BEAM))
+    ref = jax.block_until_ready(jax.jit(
+        lambda a, w, b: join_stats_topk_reference(a, w, b, V - 1, BEAM))(act, w, b))
+    for name, a_, b_ in zip(("lse", "blank", "vals"), got[:3], ref[:3]):
+        ma, mr = rel_err(np.asarray(a_), np.asarray(b_))
+        check(f"pallas_join_stats_topk_{name}", ma, mr, 2e-2, 2e-2,
+              time.time() - t0 if name == "lse" else 0.0)
+    idx_mismatch = int(np.sum(np.asarray(got[3]) != np.asarray(ref[3])))
+    total = int(np.prod(np.asarray(ref[3]).shape))
+    check("pallas_join_stats_topk_idx", idx_mismatch / total, 0.0, 5e-3, 0.0,
+          0.0, extra={"mismatched_indices": idx_mismatch, "total": total,
+                      "criterion": "mismatch rate (f32-accum kernel vs "
+                                   "f32-accum XLA oracle; near-tie swaps only)"})
+
+
 def verify_approx_expansion():
     """On-chip quality bound for ``RNNTBeamSearch(expansion="approx")``.
 
@@ -394,7 +431,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
                     choices=[None, "iir", "lfilter", "viterbi", "spectrogram",
-                             "attention", "rnnt_lps", "rowstats_topk", "approx"])
+                             "attention", "rnnt_lps", "rowstats_topk", "joinfused", "approx"])
     args = ap.parse_args()
     backend = jax.default_backend()
     print(json.dumps({"backend": backend, "devices": [str(d) for d in jax.devices()]}), flush=True)
@@ -415,6 +452,8 @@ def main():
         verify_rnnt_lps()
     if args.only in (None, "rowstats_topk"):
         verify_rowstats_topk()
+    if args.only in (None, "joinfused"):
+        verify_join_stats_topk()
     if args.only in (None, "approx"):
         verify_approx_expansion()
     n_fail = sum(not r["ok"] for r in RESULTS)

@@ -157,6 +157,8 @@ class RNNTBeamSearch:
     def _predict(self, tokens, state):
         """tokens (S, K, 1) -> (pred_out (S, K, 1, D), state (S, K, ...))."""
         s, k = tokens.shape[:2]
+        if state is not None and self._can_fast_predict():
+            return self._predict_fast(tokens, state)
 
         def flat(x):
             return x.reshape((s * k,) + x.shape[2:])
@@ -171,6 +173,70 @@ class RNNTBeamSearch:
             return x.reshape((s, k) + x.shape[1:])
 
         return unflat(out), jax.tree.map(unflat, new_state)
+
+    def _can_fast_predict(self) -> bool:
+        """Opt-in (AUDIO_TPU_LSTM_KERNEL=1): measured a ~1% END-TO-END LOSS.
+
+        The static part-isolation profile put the predictor at half the
+        search tick, but moving its gate chain into a Pallas kernel landed
+        at 40.88 vs 40.42 ms/tick (S=512, smt=4): the custom call fences
+        XLA's cross-op overlap and pins operand layouts — the same lesson
+        as the fused attention kernel at streaming shapes
+        (docs/performance.md).  Kept as a knob because the kernel wins in
+        isolation and larger predictor configs may tip the balance.
+        """
+        import os
+
+        from audio_tpu.ops.pallas_lstm import use_lstm_kernel
+
+        pred = getattr(self.model, "predictor", None)
+        return (os.environ.get("AUDIO_TPU_LSTM_KERNEL", "0") == "1"
+                and use_lstm_kernel() and pred is not None
+                and getattr(pred, "lstm_layer_norm", False))
+
+    def _predict_fast(self, tokens, state):
+        """One-token predictor step with the LSTM gate chain in a Pallas
+        kernel.
+
+        The XLA formulation of the layer-norm LSTM step is ~8 HBM passes
+        over (S*K, 4H) intermediates per layer (the two LayerNorm
+        reductions fence the elementwise chain into separate fusions) and
+        profiled at HALF the search tick; ``lstm_gate_step``
+        (ops/pallas_lstm.py) runs recurrent-matmul + gate LN + gates +
+        cell LN in one VMEM pass.  Semantics: ``_Predictor``/_CustomLSTM
+        (models/rnnt.py), which replicate the reference
+        (/root/reference/src/torchaudio/models/rnnt.py:11-136).
+        """
+        from audio_tpu.ops.pallas_lstm import _ln, lstm_gate_step
+
+        s, k = tokens.shape[:2]
+        n = s * k
+        p = self.params["params"]["predictor"]
+        pred = self.model.predictor
+        # asarray: imported checkpoints hold numpy leaves, which cannot be
+        # indexed by a traced token array
+        x = jnp.asarray(p["embedding"]["embedding"])[tokens.reshape(n)]  # (N, E)
+        x = _ln(x.astype(jnp.float32), p["input_layer_norm"]["scale"],
+                p["input_layer_norm"]["bias"], 1e-5).astype(x.dtype)
+        flat = lambda t: t.reshape((n,) + t.shape[2:])  # noqa: E731
+        state_flat = jax.tree.map(flat, state)
+        new_state = []
+        for i in range(pred.num_lstm_layers):
+            lp = p[f"lstm_layers_{i}"]
+            gx = jnp.dot(x, lp["x2g"]["kernel"])  # hoisted input matmul
+            h, c = state_flat[i]
+            h, c = lstm_gate_step(
+                gx, h, c, lp["p2g"]["kernel"],
+                lp["g_norm"]["scale"], lp["g_norm"]["bias"],
+                lp["c_norm"]["scale"], lp["c_norm"]["bias"],
+                pred.lstm_layer_norm_epsilon)
+            x = h
+            new_state.append((h, c))
+        out = jnp.dot(x, p["linear"]["kernel"]) + p["linear"]["bias"]
+        out = _ln(out.astype(jnp.float32), p["output_layer_norm"]["scale"],
+                  p["output_layer_norm"]["bias"], 1e-5).astype(x.dtype)
+        unflat = lambda t: t.reshape((s, k) + t.shape[1:])  # noqa: E731
+        return unflat(out)[:, :, None, :], jax.tree.map(unflat, new_state)
 
     def _join(self, enc_t, pred_out):
         """enc_t (S, D), pred_out (S, K, 1, D) -> raw join logits (S, K, V).
@@ -463,6 +529,12 @@ class RNNTBeamSearch:
         # gathered from here ONCE at frame end instead of pooling
         # ~12 KB/slot of LSTM state across b_capacity slots on every inner
         # iteration (the r3 design's dominant memory traffic).
+        # arena axis order: stream-major (S, I, K, ...).  An iteration-MAJOR
+        # layout (contiguous per-iteration write slabs, one frame-end
+        # transpose) measured ~1% SLOWER end-to-end (40.91 vs 40.42 ms/tick,
+        # S=512 smt=4) despite the static profile charging 10.6 ms to the
+        # strided axis-1 writes — XLA already overlaps them in the early-
+        # exit loop, and the transpose is pure added traffic.
         arena_tokens0 = jnp.zeros(
             init.tokens.shape[:1] + (n_iters,) + init.tokens.shape[1:], init.tokens.dtype)
         arena_out0 = jnp.zeros(

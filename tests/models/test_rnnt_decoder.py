@@ -155,6 +155,33 @@ class TestRNNTBeamSearch:
                                    np.asarray(beam_plain.scores),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_fast_predict_matches_flax(self, decoders, monkeypatch):
+        """The Pallas LSTM-step predictor path decodes identically (scores
+        to tolerance, tokens exactly) to the flax ``model.predict`` path —
+        forced on CPU via the interpret-mode kernel."""
+        import functools
+
+        from audio_tpu.ops import pallas_lstm as plstm
+
+        _, j_dec, blank = decoders
+        rng = np.random.default_rng(23)
+        t_len = CFG["segment_length"] * 2 + CFG["right_context_length"]
+        x = jnp.asarray(rng.standard_normal((t_len, CFG["input_dim"])).astype(np.float32))
+        beam_plain = j_dec.forward(x, jnp.asarray(t_len), 4)
+        monkeypatch.setenv("AUDIO_TPU_LSTM_KERNEL", "1")
+        monkeypatch.setattr(plstm, "use_lstm_kernel", lambda: True)
+        monkeypatch.setattr(
+            plstm, "lstm_gate_step",
+            functools.partial(plstm.lstm_gate_step, interpret=True))
+        beam_fused = j_dec.forward(x, jnp.asarray(t_len), 4)
+        np.testing.assert_array_equal(np.asarray(beam_fused.tokens),
+                                      np.asarray(beam_plain.tokens))
+        np.testing.assert_array_equal(np.asarray(beam_fused.counts),
+                                      np.asarray(beam_plain.counts))
+        np.testing.assert_allclose(np.asarray(beam_fused.scores),
+                                   np.asarray(beam_plain.scores),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_streaming_infer_runs(self, decoders):
         _, j_dec, _ = decoders
         rng = np.random.default_rng(5)

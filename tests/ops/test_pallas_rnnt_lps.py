@@ -109,3 +109,38 @@ class TestJoinStatsTopK:
 
     def test_row_padding(self):
         self._check((3, 7), 16, 33, 4, seed=3)
+
+
+class TestLstmGateStep:
+    def _check(self, n, hdim, dtype="f32", seed=0, tol=1e-5):
+        from audio_tpu.ops.pallas_lstm import (
+            lstm_gate_step,
+            lstm_gate_step_reference,
+        )
+
+        rng = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray(  # noqa: E731
+            rng.standard_normal(s).astype(np.float32) * 0.5)
+        gx, h, c = mk(n, 4 * hdim), mk(n, hdim), mk(n, hdim)
+        wp = mk(hdim, 4 * hdim) * 0.2
+        gs, gb = 1.0 + 0.1 * mk(4 * hdim), 0.1 * mk(4 * hdim)
+        cs, cb = 1.0 + 0.1 * mk(hdim), 0.1 * mk(hdim)
+        if dtype == "bf16":
+            gx, h, c, wp = (t.astype(jnp.bfloat16) for t in (gx, h, c, wp))
+            tol = 2e-2
+        got = lstm_gate_step(gx, h, c, wp, gs, gb, cs, cb, 1e-3,
+                             interpret=True)
+        ref = lstm_gate_step_reference(gx, h, c, wp, gs, gb, cs, cb, 1e-3)
+        for name, a_, b_ in zip(("h", "c"), got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32), np.asarray(b_, np.float32),
+                atol=tol, rtol=tol, err_msg=name)
+
+    def test_f32(self):
+        self._check(48, 64)
+
+    def test_bf16(self):
+        self._check(32, 128, dtype="bf16", seed=2)
+
+    def test_row_padding(self):
+        self._check(30, 64, seed=3)

@@ -207,11 +207,31 @@ def main():
             vvec = jnp.linspace(-1.0, 1.0, V, dtype=jnp.float32)
             return row[:, :, None] * vvec[None, None, :] / self.temperature
 
+        orig_join_stats = RD.RNNTBeamSearch._join_stats
+
+        def fake_join_stats(self, enc_t, pred_out, beam_width):
+            # stand-in for the fused joiner+stats kernel: derive all four
+            # outputs from cheap reductions (data-dependent, no (D, V)
+            # matmul, no lattice pass)
+            s, k = pred_out.shape[:2]
+            row = (jnp.sum(pred_out, axis=(2, 3)).astype(jnp.float32)
+                   + jnp.sum(enc_t, axis=-1).astype(jnp.float32)[:, None]) * 1e-3
+            lse = row + 8.0
+            blank_raw = row + 4.0
+            vals = row[:, :, None] - jnp.arange(
+                1, beam_width + 1, dtype=jnp.float32)[None, None, :]
+            idx = jnp.broadcast_to(
+                jnp.arange(beam_width, dtype=jnp.int32)[None, None, :],
+                (s, k, beam_width))
+            return lse, blank_raw, (vals, idx)
+
         try:
             RD.RNNTBeamSearch._join = fake_join
+            RD.RNNTBeamSearch._join_stats = fake_join_stats
             bench_search("nojoin")
         finally:
             RD.RNNTBeamSearch._join = orig_join
+            RD.RNNTBeamSearch._join_stats = orig_join_stats
 
     if "nomerge" in parts:
         orig_merge = RD.RNNTBeamSearch._merge_blank_into_b
